@@ -1,0 +1,245 @@
+"""Session-layer renderer facade.
+
+Mirrors the property surface and behavior of the reference's MATLAB
+``VolumeRender`` class (reference src/matlab/VolumeRender/VolumeRender.m),
+including off-axis stereo rendering (VolumeRender.m:275-308) and the
+static image/sequence normalization helpers (VolumeRender.m:586-701).
+
+The reference's mex handle + MManager timestamp machinery (reference
+src/C/mex/render.cpp, src/C/vr/mm/mmanager.hxx) has no TPU equivalent by
+design: JAX arrays are immutable and device-resident, so "sync" is just
+building the Scene pytree; jit compilation caches per scene structure, and
+repeated renders of unchanged volumes never re-upload.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from volume_renderer_tpu.models.camera import Camera
+from volume_renderer_tpu.models.lights import LightSource, pack_lights
+from volume_renderer_tpu.models.scene import RenderSettings, Scene, build_render_options
+from volume_renderer_tpu.models.volume import Volume
+from volume_renderer_tpu.ops.forward import render_forward
+from volume_renderer_tpu.ops.oracle import render_oracle
+
+
+class StereoRenderMode(enum.Enum):
+    """Stereo output modes (reference StereoRenderMode.m:32-38)."""
+
+    RED_CYAN = "RedCyan"
+    LEFT_RIGHT_HORIZONTAL = "LeftRightHorizontal"
+
+
+class VolumeRenderer:
+    """Stateful facade over the functional render path.
+
+    Attributes mirror VolumeRender.m's validated properties with the same
+    defaults (VolumeRender.m:64-126). ``image_resolution`` is
+    (width, height).
+    """
+
+    def __init__(self, backend: str = "forward"):
+        self.focal_length: float = 0.0
+        self.distance_to_object: float = 0.0
+        self.opacity_threshold: float = 0.95
+        self.light_sources: List[LightSource] = []
+        self.color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+        self.factor_emission: float = 1.0
+        self.factor_reflection: float = 1.0
+        self.factor_absorption: float = 1.0
+        self.camera_x_offset: float = 0.0
+        self.stereo_output: StereoRenderMode = StereoRenderMode.RED_CYAN
+        self.element_size_um: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+        self.rotation_matrix: jnp.ndarray = jnp.eye(3, dtype=jnp.float32)
+        self.image_resolution: Tuple[int, int] = (0, 0)
+
+        self.volume_emission: Optional[Volume] = None
+        self.volume_absorption: Optional[Volume] = None
+        self.volume_reflection: Optional[Volume] = None
+        self.volume_gradient_x: Optional[Volume] = None
+        self.volume_gradient_y: Optional[Volume] = None
+        self.volume_gradient_z: Optional[Volume] = None
+        self.volume_illumination: Optional[jnp.ndarray] = None
+
+        if backend not in ("forward", "oracle"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+
+    # ---- scene assembly -------------------------------------------------
+
+    def rotate(self, alpha_deg: float, beta_deg: float, gamma_deg: float) -> None:
+        """In-place Euler rotation of the view matrix (VolumeRender.m:239-262)."""
+        cam = Camera.create(rotation=self.rotation_matrix).rotate(alpha_deg, beta_deg, gamma_deg)
+        self.rotation_matrix = cam.rotation
+
+    def reset_gradient_volumes(self) -> None:
+        """Switch back to on-the-fly gradients (VolumeRender.m:314-346)."""
+        self.volume_gradient_x = None
+        self.volume_gradient_y = None
+        self.volume_gradient_z = None
+
+    def _build_scene(self) -> Scene:
+        if self.volume_emission is None or self.volume_absorption is None:
+            raise ValueError("Not all volumes are properly set! "
+                             "(emission and absorption are required)")
+        reflection = self.volume_reflection
+        if reflection is None:
+            # VolumeRender.m:131 defaults VolumeReflection to Volume(1)
+            reflection = Volume.create(np.ones((1, 1, 1), np.float32))
+
+        grads = (self.volume_gradient_x, self.volume_gradient_y, self.volume_gradient_z)
+        if any(g is not None for g in grads) and not all(g is not None for g in grads):
+            raise ValueError("All gradient dimensions need to be set!")
+
+        lights_set = len(self.light_sources) > 0 and self.volume_illumination is not None
+        light_pos, light_col = pack_lights(self.light_sources if lights_set else [])
+
+        illumination = None
+        if lights_set:
+            illumination = jnp.asarray(self.volume_illumination, jnp.float32)
+
+        camera = Camera.create(
+            rotation=self.rotation_matrix,
+            focal_length=self.focal_length,
+            distance_to_object=self.distance_to_object,
+        )
+        settings = RenderSettings.create(
+            factor_emission=self.factor_emission,
+            factor_reflection=self.factor_reflection,
+            factor_absorption=self.factor_absorption,
+            color=self.color,
+            opacity_threshold=self.opacity_threshold,
+        )
+        emission = self.volume_emission.replace(
+            element_size_um=tuple(float(e) for e in self.element_size_um)
+        )
+        return Scene(
+            emission=emission,
+            absorption=self.volume_absorption,
+            reflection=reflection,
+            camera=camera,
+            settings=settings,
+            gradient_x=self.volume_gradient_x,
+            gradient_y=self.volume_gradient_y,
+            gradient_z=self.volume_gradient_z,
+            illumination=illumination,
+            light_positions=light_pos if lights_set else None,
+            light_colors=light_col if lights_set else None,
+        )
+
+    def _render_once(self, camera_x_offset: float, width: int, height: int) -> jnp.ndarray:
+        scene = self._build_scene()
+        opts = build_render_options(
+            scene.emission.extent_xyz, scene.emission.element_size_um, width, height
+        )
+        if self.backend == "oracle":
+            return render_oracle(scene, opts, camera_x_offset)
+        return render_forward(scene, opts, camera_x_offset)
+
+    # ---- rendering ------------------------------------------------------
+
+    def render(self) -> jnp.ndarray:
+        """Render to an (H, W, 3) image; stereo if camera_x_offset != 0
+        (reference VolumeRender.m:264-309)."""
+        width, height = (int(v) for v in self.image_resolution)
+        if width <= 0 or height <= 0:
+            raise ValueError("image_resolution must be set to positive (width, height)")
+
+        if self.camera_x_offset == 0:
+            return self._render_once(0.0, width, height)
+
+        # Off-axis stereo: two full passes at widened resolution, crop the
+        # disparity delta from opposite sides, merge (VolumeRender.m:275-308).
+        base = self.camera_x_offset / 2.0
+        fov = 2.0 * np.arctan(1.0 / self.focal_length)
+        # NB the reference uses ImageResolution(2) (= height) in the
+        # disparity formula (VolumeRender.m:281-283); replicated verbatim.
+        delta = int(round((base * height) / (2.0 * self.focal_length * np.tan(fov / 2.0))))
+
+        wide = width + delta
+        right = self._render_once(base, wide, height)
+        left = self._render_once(-base, wide, height)
+
+        left_c = left[:, delta:, :]
+        right_c = right[:, : wide - delta, :]
+
+        if self.stereo_output == StereoRenderMode.RED_CYAN:
+            return jnp.stack(
+                [left_c[:, :, 0], right_c[:, :, 1], right_c[:, :, 2]], axis=-1
+            )
+        return jnp.concatenate([left_c, right_c], axis=1)
+
+    # ---- introspection --------------------------------------------------
+
+    def mem_info(self) -> str:
+        """Human-readable scene memory report (MManager::memInfo analog,
+        reference mm/mmanager.hxx:218-284)."""
+        lines = ["volume_renderer_tpu scene memory:"]
+        total = 0
+        seen = {}
+        for name in ("volume_emission", "volume_absorption", "volume_reflection",
+                     "volume_gradient_x", "volume_gradient_y", "volume_gradient_z"):
+            vol = getattr(self, name)
+            if vol is None:
+                continue
+            nbytes = int(np.prod(vol.data.shape)) * 4
+            key = id(vol.data)
+            dedup = " (shared)" if key in seen else ""
+            seen[key] = name
+            if not dedup:
+                total += nbytes
+            lines.append(f"  {name}: shape={tuple(vol.data.shape)} {nbytes / 2**20:.1f} MiB{dedup}")
+        if self.volume_illumination is not None:
+            nbytes = int(np.prod(self.volume_illumination.shape)) * 4
+            total += nbytes
+            lines.append(
+                f"  volume_illumination: shape={tuple(self.volume_illumination.shape)} "
+                f"{nbytes / 2**20:.1f} MiB"
+            )
+        lines.append(f"  total (deduplicated): {total / 2**20:.1f} MiB")
+        try:
+            import jax
+
+            dev = jax.devices()[0]
+            stats = dev.memory_stats() or {}
+            if "bytes_in_use" in stats:
+                lines.append(f"  device bytes_in_use: {stats['bytes_in_use'] / 2**20:.1f} MiB")
+        except Exception:  # pragma: no cover - platform dependent
+            pass
+        return "\n".join(lines)
+
+    # ---- static helpers (VolumeRender.m:586-701) -----------------------
+
+    @staticmethod
+    def normalize_image(image_rgb, min_value: Optional[float] = None,
+                        max_value: Optional[float] = None):
+        """Normalize an RGB image to [0, 1] (VolumeRender.m:632-701)."""
+        img = jnp.asarray(image_rgb, jnp.float32)
+        if min_value is None:
+            min_value = float(jnp.min(img))
+        if max_value is None:
+            max_value = float(jnp.max(img))
+        if min_value < 0:
+            # replicate the reference's negative-min shift semantics
+            img = img + min_value
+            max_value = max_value + abs(min_value)
+        return img / max_value
+
+    @staticmethod
+    def normalize_sequence(sequence):
+        """Normalize a 4D (H, W, 3, T) sequence globally (VolumeRender.m:587-630)."""
+        seq = jnp.asarray(sequence, jnp.float32)
+        if seq.ndim < 4:
+            raise ValueError("input must be a multiframe image (4D)")
+        mn = float(jnp.min(seq))
+        mx = float(jnp.max(seq))
+        frames = [
+            VolumeRenderer.normalize_image(seq[..., i], mn, mx)
+            for i in range(seq.shape[-1])
+        ]
+        return jnp.stack(frames, axis=-1)

@@ -1,0 +1,168 @@
+"""Inverse volume rendering: differentiable training steps, single- and multi-chip.
+
+The reference is forward-only; the backward pass (pixel -> voxel-density /
+transfer-parameter gradients) is new in this framework (BASELINE.md). The
+canonical workload is scene reconstruction: optimize voxel grids and
+transfer parameters so the rendered image matches target views.
+
+Multi-chip: rays are data-parallel over the mesh (each device renders and
+differentiates its own image band), voxel/parameter gradients are psum-ed
+across devices — the all-reduce rides ICI inside ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from volume_renderer_tpu.models.scene import RenderOptions, Scene
+from volume_renderer_tpu.ops.forward import render_rows
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+Params = Dict[str, Any]
+
+
+def split_params(scene: Scene) -> Tuple[Params, Scene]:
+    """Split a Scene into (trainable params, static remainder).
+
+    Trainable: emission/absorption voxel grids and the transfer factors +
+    color. The remainder keeps placeholders that are overwritten by
+    ``merge_params``.
+    """
+    params = {
+        "emission": scene.emission.data,
+        "absorption": scene.absorption.data,
+        "factor_emission": scene.settings.factor_emission,
+        "factor_absorption": scene.settings.factor_absorption,
+        "factor_reflection": scene.settings.factor_reflection,
+        "color": scene.settings.color,
+    }
+    return params, scene
+
+
+def merge_params(params: Params, scene: Scene) -> Scene:
+    settings = scene.settings.replace(
+        factor_emission=params["factor_emission"],
+        factor_absorption=params["factor_absorption"],
+        factor_reflection=params["factor_reflection"],
+        color=params["color"],
+    )
+    return scene.replace(
+        emission=scene.emission.replace(data=params["emission"]),
+        absorption=scene.absorption.replace(data=params["absorption"]),
+        settings=settings,
+    )
+
+
+def band_loss(
+    params: Params,
+    scene: Scene,
+    opts: RenderOptions,
+    target_band: jnp.ndarray,
+    y_offset,
+    n_rows: int,
+    camera_x_offset=0.0,
+    impl: str = "fused",
+    early_exit: bool = True,
+) -> jnp.ndarray:
+    """Sum-of-squared-error of one image band (sum, not mean, so that
+    psum over shards equals the global loss).
+
+    impl="fused": custom-VJP replay backward, O(1) memory in march length
+        (volume_renderer_tpu.ops.vjp) — the production path. Pass
+        early_exit=False when this shard's gradients feed a psum (see
+        render_fused's docstring on replica balance).
+    impl="scan": rematerialized scan + plain autodiff — the gradient
+        oracle; memory grows with march length, small scenes only.
+    """
+    merged = merge_params(params, scene)
+    if impl == "fused":
+        from volume_renderer_tpu.ops.vjp import render_fused
+
+        band = render_fused(
+            merged, opts, camera_x_offset, y_offset, n_rows, early_exit=early_exit
+        )
+    else:
+        band = render_rows(
+            merged, opts, camera_x_offset, y_offset, n_rows, differentiable=True
+        )
+    return jnp.sum((band - target_band) ** 2)
+
+
+@partial(jax.jit, static_argnames=("opts", "optimizer"))
+def train_step(
+    params: Params,
+    opt_state,
+    scene: Scene,
+    opts: RenderOptions,
+    target: jnp.ndarray,
+    optimizer: optax.GradientTransformation,
+) -> Tuple[Params, Any, jnp.ndarray]:
+    """Single-device training step (loss over the full image)."""
+    loss, grads = jax.value_and_grad(band_loss)(
+        params, scene, opts, target, 0, opts.height
+    )
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@partial(jax.jit, static_argnames=("opts", "optimizer", "mesh"))
+def train_step_sharded(
+    params: Params,
+    opt_state,
+    scene: Scene,
+    opts: RenderOptions,
+    target: jnp.ndarray,
+    optimizer: optax.GradientTransformation,
+    *,
+    mesh: Mesh,
+) -> Tuple[Params, Any, jnp.ndarray]:
+    """Data-parallel training step: rays sharded over the mesh axis,
+    parameter gradients all-reduced with psum.
+
+    ``target`` must be (H, W, 3) with H divisible by the mesh size (pad
+    targets with zero rows if needed — padded rays render against the same
+    scene on both sides of the subtraction, so they contribute real but
+    consistent gradients; prefer exact divisibility).
+    """
+    (axis_name,) = mesh.axis_names
+    n = mesh.devices.size
+    if opts.height % n != 0:
+        raise ValueError(
+            f"image height {opts.height} must be divisible by mesh size {n}"
+        )
+    rows_per = opts.height // n
+
+    def shard_fn(params_l, scene_l, target_band):
+        i = jax.lax.axis_index(axis_name)
+        loss, grads = jax.value_and_grad(band_loss)(
+            params_l, scene_l, opts, target_band, i * rows_per, rows_per,
+            early_exit=False,  # keep replicas balanced ahead of the psum
+        )
+        # all-reduce: every device ends with the global loss and gradients
+        loss = jax.lax.psum(loss, axis_name)
+        grads = jax.lax.psum(grads, axis_name)
+        return loss, grads
+
+    loss, grads = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name, None, None)),
+        out_specs=(P(), P()),
+    )(params, scene, target)
+
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
