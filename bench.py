@@ -5,16 +5,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline = the pure-JAX oracle (the faithful reimplementation of the
 reference CUDA renderer's semantics — the reference itself publishes no
-numbers, see BASELINE.md), measured on the same scene. The oracle is timed
-at a reduced image size (its per-ray cost is constant) to bound bench time;
-rays/s is per-ray throughput so the comparison is like-for-like.
+numbers, see BASELINE.md), measured on the same scene at a reduced image
+size (rays/s is per-ray throughput, so the comparison is like-for-like;
+the oracle's compile time is minutes, so its image is kept small).
+
+NB: timings fetch results to the host (np.asarray). On this platform
+jax.block_until_ready can return before execution finishes, which makes
+non-fetching timings meaningless (and silently hides device faults).
 
 Env knobs:
-  VRT_BENCH_VOL      voxel cube edge (default 512)
-  VRT_BENCH_IMG      image edge (default 1024)
-  VRT_BENCH_ORACLE_IMG  oracle image edge (default 128; 0 disables baseline)
-  VRT_BENCH_LIGHTING 1 to enable HG lighting (default 0 — the north-star
-                     fwd+bwd config is emission/absorption)
+  VRT_BENCH_VOL         voxel cube edge (default 128)
+  VRT_BENCH_IMG         image edge (default 256)
+  VRT_BENCH_ORACLE_IMG  oracle image edge (default 32; 0 disables baseline)
+  VRT_BENCH_LIGHTING    1 to enable HG lighting (default 0)
+  VRT_BENCH_REPS        timed repetitions (default 3)
 """
 
 import json
@@ -25,43 +29,40 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def _timed(render, reps):
+    """Mean seconds per render, forcing a host fetch each repetition."""
+    np.asarray(render())  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = np.asarray(render())
+    dt = (time.perf_counter() - t0) / reps
+    if not np.isfinite(out).all():
+        raise RuntimeError("render produced non-finite values")
+    return dt
 
+
+def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_scene
     from volume_renderer_tpu.ops.forward import render_forward
     from volume_renderer_tpu.ops.oracle import render_oracle
 
-    vol = int(os.environ.get("VRT_BENCH_VOL", "512"))
-    img = int(os.environ.get("VRT_BENCH_IMG", "1024"))
-    oracle_img = int(os.environ.get("VRT_BENCH_ORACLE_IMG", "128"))
+    vol = int(os.environ.get("VRT_BENCH_VOL", "128"))
+    img = int(os.environ.get("VRT_BENCH_IMG", "256"))
+    oracle_img = int(os.environ.get("VRT_BENCH_ORACLE_IMG", "32"))
     lighting = os.environ.get("VRT_BENCH_LIGHTING", "0") == "1"
+    reps = int(os.environ.get("VRT_BENCH_REPS", "3"))
 
     scene = _flagship_scene(vol=vol, lighting=lighting)
     opts = scene.options(img, img)
 
-    # compile + warmup
-    out = render_forward(scene, opts)
-    jax.block_until_ready(out)
-
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = render_forward(scene, opts)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    dt = _timed(lambda: render_forward(scene, opts), reps)
     rays_per_s = img * img / dt
 
     vs_baseline = None
     if oracle_img > 0:
         o_opts = scene.options(oracle_img, oracle_img)
-        o = render_oracle(scene, o_opts)
-        jax.block_until_ready(o)
-        t0 = time.perf_counter()
-        o = render_oracle(scene, o_opts)
-        jax.block_until_ready(o)
-        o_dt = time.perf_counter() - t0
+        o_dt = _timed(lambda: render_oracle(scene, o_opts), 1)
         oracle_rays_per_s = oracle_img * oracle_img / o_dt
         vs_baseline = rays_per_s / oracle_rays_per_s
 

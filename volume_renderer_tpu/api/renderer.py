@@ -87,8 +87,20 @@ class VolumeRenderer:
         if self.volume_emission is None or self.volume_absorption is None:
             raise ValueError("Not all volumes are properly set! "
                              "(emission and absorption are required)")
+
+        # Identical-volume deduplication (the reference's syncWithDevice
+        # aliasing, volumeRender_kernel.cu:739-867): sampling an aliased
+        # role costs no extra gathers.
+        absorption = self.volume_absorption
+        if absorption is self.volume_emission or absorption.data is self.volume_emission.data:
+            absorption = None
+
         reflection = self.volume_reflection
-        if reflection is None:
+        if reflection is not None and (
+            reflection is self.volume_emission or reflection.data is self.volume_emission.data
+        ):
+            reflection = None
+        elif reflection is None:
             # VolumeRender.m:131 defaults VolumeReflection to Volume(1)
             reflection = Volume.create(np.ones((1, 1, 1), np.float32))
 
@@ -120,7 +132,7 @@ class VolumeRenderer:
         )
         return Scene(
             emission=emission,
-            absorption=self.volume_absorption,
+            absorption=absorption,
             reflection=reflection,
             camera=camera,
             settings=settings,

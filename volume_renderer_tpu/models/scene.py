@@ -138,13 +138,21 @@ def build_render_options(
 class Scene:
     """Everything the march consumes. Optional fields statically specialize
     the kernel (None => feature compiled out, like the reference's
-    command-protocol argument count switching, render.cpp:93-129)."""
+    command-protocol argument count switching, render.cpp:93-129).
+
+    Volume aliasing: absorption=None or reflection=None means "same volume
+    as emission" — the TPU equivalent of the reference's texture aliasing
+    (``referenceTexture`` / ``syncWithDevice`` dedup of identical volumes,
+    volumeRender_kernel.cu:631-648, 739-867): the aliased role is sampled
+    from the emission grid with no extra gathers, and its gradients flow
+    into the emission grid.
+    """
 
     emission: Volume
-    absorption: Volume
-    reflection: Volume
     camera: Camera
     settings: RenderSettings
+    absorption: Optional[Volume] = None
+    reflection: Optional[Volume] = None
     # precomputed gradient volumes => gradientLookup mode; None => on-the-fly
     gradient_x: Optional[Volume] = None
     gradient_y: Optional[Volume] = None
@@ -153,6 +161,22 @@ class Scene:
     illumination: Optional[jnp.ndarray] = None
     light_positions: Optional[jnp.ndarray] = None  # (L, 3)
     light_colors: Optional[jnp.ndarray] = None  # (L, 3)
+
+    @property
+    def absorption_aliased(self) -> bool:
+        return self.absorption is None
+
+    @property
+    def reflection_aliased(self) -> bool:
+        return self.reflection is None
+
+    @property
+    def absorption_volume(self) -> Volume:
+        return self.emission if self.absorption is None else self.absorption
+
+    @property
+    def reflection_volume(self) -> Volume:
+        return self.emission if self.reflection is None else self.reflection
 
     @property
     def has_lighting(self) -> bool:

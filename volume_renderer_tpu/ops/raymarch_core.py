@@ -48,21 +48,25 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from volume_renderer_tpu.models.scene import RenderOptions, Scene
 from volume_renderer_tpu.ops.float3 import F3, Array, dot, f3, length, normalize
 from volume_renderer_tpu.ops.sampling import sample_trilinear
 
-PI = jnp.float32(3.14159265358979323846)
+# NB host-side np scalars, not jnp: module-level jnp constants would
+# initialize the JAX backend at import time (locking the platform choice
+# before the user can configure it).
+PI = np.float32(3.14159265358979323846)
 
 # Gradients with squared norm below this are rounding noise of float32
 # trilinear differences (~(1e-7)^2 = 1e-14); treat as zero normal.
-GRAD_EPS2 = jnp.float32(1e-12)
+GRAD_EPS2 = np.float32(1e-12)
 
 # angle() denominators (product of the two vector lengths) below this take
 # the guarded branch: the angle is geometrically ill-defined and its
 # gradient would overflow float32.
-ANGLE_DENOM_EPS = jnp.float32(1e-12)
+ANGLE_DENOM_EPS = np.float32(1e-12)
 
 
 class MarchConsts(NamedTuple):
@@ -217,14 +221,19 @@ def otf_tap_positions(pos: F3, consts: MarchConsts) -> Tuple[F3, ...]:
 
 
 def gather_taps(scene: Scene, consts: MarchConsts, pos: F3) -> Taps:
-    """All texture fetches of one march step."""
+    """All texture fetches of one march step.
+
+    Aliased roles (scene.absorption/reflection None) reuse the emission
+    fetch — the reference's texture aliasing (volumeRender_kernel.cu:
+    631-648) turned into a statically deduplicated gather.
+    """
     sample_pos = to_sample_coords(pos, consts)
     em = sample_trilinear(scene.emission.data, sample_pos)
-    ab = sample_trilinear(scene.absorption.data, sample_pos)
+    ab = em if scene.absorption_aliased else sample_trilinear(scene.absorption.data, sample_pos)
     re = None
     grad_taps = None
     if scene.has_lighting:
-        re = sample_trilinear(scene.reflection.data, sample_pos)
+        re = em if scene.reflection_aliased else sample_trilinear(scene.reflection.data, sample_pos)
         if scene.has_gradient_volumes:
             grad_taps = (
                 sample_trilinear(scene.gradient_x.data, sample_pos),

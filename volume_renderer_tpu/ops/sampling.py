@@ -91,3 +91,50 @@ def sample_trilinear(volume: Array, coords: F3) -> Array:
     c1 = c01 + fy * (c11 - c01)
 
     return c0 + fz * (c1 - c0)
+
+
+def sample_trilinear_zslab(
+    slab: Array, coords: F3, z_offset, full_d: int
+) -> Array:
+    """Trilinear sample from a z-slab of a (full_d, H, W) volume.
+
+    ``slab`` holds rows [z_offset, z_offset + slab_d) of the full volume
+    (including any halo rows the caller packed in). Coordinates are GLOBAL
+    normalized coords; corner indices are clamped against the FULL volume
+    extent first (identical values to sample_trilinear on the full array),
+    then shifted into the slab. The caller guarantees that every global
+    z index actually touched lies inside the slab (enough halo).
+
+    This is the sampling primitive for brick-sharded volumes and the
+    slab-swept large-volume march.
+    """
+    slab_d, h, w = slab.shape
+    i0, i1, fx, fy, fz = trilinear_setup((full_d, h, w), coords)
+
+    z0 = jnp.clip(i0.z - z_offset, 0, slab_d - 1)
+    z1 = jnp.clip(i1.z - z_offset, 0, slab_d - 1)
+
+    flat = slab.reshape(-1)
+    stride_y = w
+    stride_z = w * h
+
+    def fetch(ix, iy, iz):
+        idx = ix + iy * stride_y + iz * stride_z
+        return jnp.take(flat, idx, mode="clip")
+
+    c000 = fetch(i0.x, i0.y, z0)
+    c100 = fetch(i1.x, i0.y, z0)
+    c010 = fetch(i0.x, i1.y, z0)
+    c110 = fetch(i1.x, i1.y, z0)
+    c001 = fetch(i0.x, i0.y, z1)
+    c101 = fetch(i1.x, i0.y, z1)
+    c011 = fetch(i0.x, i1.y, z1)
+    c111 = fetch(i1.x, i1.y, z1)
+
+    c00 = c000 + fx * (c100 - c000)
+    c10 = c010 + fx * (c110 - c010)
+    c01 = c001 + fx * (c101 - c001)
+    c11 = c011 + fx * (c111 - c011)
+    c0 = c00 + fy * (c10 - c00)
+    c1 = c01 + fy * (c11 - c01)
+    return c0 + fz * (c1 - c0)

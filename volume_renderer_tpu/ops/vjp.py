@@ -50,16 +50,22 @@ _PLACEHOLDER = object()
 
 
 def split_scene(scene: Scene) -> Tuple[Diff, Scene]:
-    """Separate the differentiable leaves from the (small) static template."""
+    """Separate the differentiable leaves from the (small) static template.
+
+    Aliased absorption/reflection (None in the Scene) have no leaves of
+    their own — their gradients flow into the emission grid.
+    """
     diff: Diff = {
         "emission": scene.emission.data,
-        "absorption": scene.absorption.data,
-        "reflection": scene.reflection.data,
         "factor_emission": scene.settings.factor_emission,
         "factor_absorption": scene.settings.factor_absorption,
         "factor_reflection": scene.settings.factor_reflection,
         "color": scene.settings.color,
     }
+    if not scene.absorption_aliased:
+        diff["absorption"] = scene.absorption.data
+    if not scene.reflection_aliased:
+        diff["reflection"] = scene.reflection.data
     if scene.has_lighting:
         diff["light_colors"] = scene.light_colors
     if scene.has_gradient_volumes:
@@ -70,8 +76,8 @@ def split_scene(scene: Scene) -> Tuple[Diff, Scene]:
     ph = jnp.zeros((1, 1, 1), jnp.float32)
     template = scene.replace(
         emission=scene.emission.replace(data=ph),
-        absorption=scene.absorption.replace(data=ph),
-        reflection=scene.reflection.replace(data=ph),
+        absorption=None if scene.absorption_aliased else scene.absorption.replace(data=ph),
+        reflection=None if scene.reflection_aliased else scene.reflection.replace(data=ph),
         gradient_x=scene.gradient_x.replace(data=ph) if scene.has_gradient_volumes else None,
         gradient_y=scene.gradient_y.replace(data=ph) if scene.has_gradient_volumes else None,
         gradient_z=scene.gradient_z.replace(data=ph) if scene.has_gradient_volumes else None,
@@ -89,8 +95,6 @@ def split_scene(scene: Scene) -> Tuple[Diff, Scene]:
 def merge_scene(template: Scene, diff: Diff) -> Scene:
     kwargs = dict(
         emission=template.emission.replace(data=diff["emission"]),
-        absorption=template.absorption.replace(data=diff["absorption"]),
-        reflection=template.reflection.replace(data=diff["reflection"]),
         settings=template.settings.replace(
             factor_emission=diff["factor_emission"],
             factor_absorption=diff["factor_absorption"],
@@ -98,6 +102,10 @@ def merge_scene(template: Scene, diff: Diff) -> Scene:
             color=diff["color"],
         ),
     )
+    if "absorption" in diff:
+        kwargs["absorption"] = template.absorption.replace(data=diff["absorption"])
+    if "reflection" in diff:
+        kwargs["reflection"] = template.reflection.replace(data=diff["reflection"])
     if "light_colors" in diff:
         kwargs["light_colors"] = diff["light_colors"]
     if "gradient_x" in diff:
@@ -231,13 +239,15 @@ def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
     vzero = jnp.sum(g_flat) * 0.0
     acc0 = {
         "emission": jnp.zeros(scene.emission.data.size, jnp.float32) + vzero,
-        "absorption": jnp.zeros(scene.absorption.data.size, jnp.float32) + vzero,
-        "reflection": jnp.zeros(scene.reflection.data.size, jnp.float32) + vzero,
         "factor_emission": jnp.float32(0) + vzero,
         "factor_absorption": jnp.float32(0) + vzero,
         "factor_reflection": jnp.float32(0) + vzero,
         "color": jnp.zeros(3, jnp.float32) + vzero,
     }
+    if not scene.absorption_aliased:
+        acc0["absorption"] = jnp.zeros(scene.absorption.data.size, jnp.float32) + vzero
+    if not scene.reflection_aliased and lighting:
+        acc0["reflection"] = jnp.zeros(scene.reflection.data.size, jnp.float32) + vzero
     if lighting:
         acc0["light_colors"] = jnp.zeros_like(scene.light_colors) + vzero
     if lookup:
@@ -277,16 +287,23 @@ def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
 
         d_taps, d_params = vjp_fn((d_s, d_alpha))
 
-        # ---- scatter tap cotangents into the grids ----
+        # ---- scatter tap cotangents into the grids (aliased roles
+        # accumulate into the emission grid with the emission meta) ----
         sample_pos = core.to_sample_coords(pos, consts)
         em_meta = _scatter_meta(scene.emission.data.shape, sample_pos)
         acc = dict(acc)
         acc["emission"] = _scatter_add(acc["emission"], em_meta, d_taps.em)
-        ab_meta = _scatter_meta(scene.absorption.data.shape, sample_pos)
-        acc["absorption"] = _scatter_add(acc["absorption"], ab_meta, d_taps.ab)
+        if scene.absorption_aliased:
+            acc["emission"] = _scatter_add(acc["emission"], em_meta, d_taps.ab)
+        else:
+            ab_meta = _scatter_meta(scene.absorption.data.shape, sample_pos)
+            acc["absorption"] = _scatter_add(acc["absorption"], ab_meta, d_taps.ab)
         if lighting:
-            re_meta = _scatter_meta(scene.reflection.data.shape, sample_pos)
-            acc["reflection"] = _scatter_add(acc["reflection"], re_meta, d_taps.re)
+            if scene.reflection_aliased:
+                acc["emission"] = _scatter_add(acc["emission"], em_meta, d_taps.re)
+            else:
+                re_meta = _scatter_meta(scene.reflection.data.shape, sample_pos)
+                acc["reflection"] = _scatter_add(acc["reflection"], re_meta, d_taps.re)
             if lookup:
                 for key, dval in zip(
                     ("gradient_x", "gradient_y", "gradient_z"), d_taps.grad_taps
@@ -332,13 +349,18 @@ def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
 
     d_diff = {
         "emission": acc["emission"].reshape(scene.emission.data.shape),
-        "absorption": acc["absorption"].reshape(scene.absorption.data.shape),
-        "reflection": acc["reflection"].reshape(scene.reflection.data.shape),
         "factor_emission": acc["factor_emission"],
         "factor_absorption": acc["factor_absorption"],
         "factor_reflection": acc["factor_reflection"],
         "color": acc["color"],
     }
+    if "absorption" in diff:
+        d_diff["absorption"] = acc["absorption"].reshape(scene.absorption.data.shape)
+    if "reflection" in diff:
+        if "reflection" in acc:
+            d_diff["reflection"] = acc["reflection"].reshape(scene.reflection.data.shape)
+        else:  # reflection volume present but lighting off: untouched
+            d_diff["reflection"] = jnp.zeros(scene.reflection.data.shape, jnp.float32)
     if lighting:
         d_diff["light_colors"] = acc["light_colors"]
     if lookup:

@@ -42,12 +42,13 @@ def split_params(scene: Scene) -> Tuple[Params, Scene]:
     """
     params = {
         "emission": scene.emission.data,
-        "absorption": scene.absorption.data,
         "factor_emission": scene.settings.factor_emission,
         "factor_absorption": scene.settings.factor_absorption,
         "factor_reflection": scene.settings.factor_reflection,
         "color": scene.settings.color,
     }
+    if not scene.absorption_aliased:
+        params["absorption"] = scene.absorption.data
     return params, scene
 
 
@@ -58,11 +59,13 @@ def merge_params(params: Params, scene: Scene) -> Scene:
         factor_reflection=params["factor_reflection"],
         color=params["color"],
     )
-    return scene.replace(
+    kwargs = dict(
         emission=scene.emission.replace(data=params["emission"]),
-        absorption=scene.absorption.replace(data=params["absorption"]),
         settings=settings,
     )
+    if "absorption" in params:
+        kwargs["absorption"] = scene.absorption.replace(data=params["absorption"])
+    return scene.replace(**kwargs)
 
 
 def band_loss(
