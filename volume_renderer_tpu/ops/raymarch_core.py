@@ -54,6 +54,43 @@ from volume_renderer_tpu.models.scene import RenderOptions, Scene
 from volume_renderer_tpu.ops.float3 import F3, Array, dot, f3, length, normalize
 from volume_renderer_tpu.ops.sampling import sample_trilinear
 
+
+class Samplers(NamedTuple):
+    """Role -> trilinear fetch callables (normalized global coords -> value).
+
+    The march math is written against this indirection so the same code
+    samples full volumes (default), halo-padded z-bricks of sharded
+    volumes (parallel/bricks.py), or VMEM-staged slabs. Entries are None
+    when the role is compiled out.
+    """
+
+    em: object
+    ab: object
+    re: object = None
+    gx: object = None
+    gy: object = None
+    gz: object = None
+    lut: object = None
+
+
+def make_samplers(scene: Scene) -> Samplers:
+    """Default samplers over the full volume arrays (with aliasing)."""
+    em = lambda p: sample_trilinear(scene.emission.data, p)  # noqa: E731
+    ab = em if scene.absorption_aliased else (
+        lambda p: sample_trilinear(scene.absorption.data, p)
+    )
+    re = gx = gy = gz = lut = None
+    if scene.has_lighting:
+        re = em if scene.reflection_aliased else (
+            lambda p: sample_trilinear(scene.reflection.data, p)
+        )
+        lut = lambda p: sample_trilinear(scene.illumination, p)  # noqa: E731
+        if scene.has_gradient_volumes:
+            gx = lambda p: sample_trilinear(scene.gradient_x.data, p)  # noqa: E731
+            gy = lambda p: sample_trilinear(scene.gradient_y.data, p)  # noqa: E731
+            gz = lambda p: sample_trilinear(scene.gradient_z.data, p)  # noqa: E731
+    return Samplers(em=em, ab=ab, re=re, gx=gx, gy=gy, gz=gz, lut=lut)
+
 # NB host-side np scalars, not jnp: module-level jnp constants would
 # initialize the JAX backend at import time (locking the platform choice
 # before the user can configure it).
@@ -141,7 +178,7 @@ def to_sample_coords(pos: F3, consts: MarchConsts) -> F3:
     return (pos - consts.boxmin) * consts.boxscale
 
 
-def compute_gradient_otf(emission: Array, pos: F3, consts: MarchConsts) -> F3:
+def compute_gradient_otf(em_sampler, pos: F3, consts: MarchConsts) -> F3:
     """On-the-fly central differences on the emission texture
     (volumeRender_kernel.cu:212-253). Offsets are one voxel (gradient_step)
     in WORLD units, then normalized; factor 0.5; no emission factor."""
@@ -150,7 +187,7 @@ def compute_gradient_otf(emission: Array, pos: F3, consts: MarchConsts) -> F3:
     def diff(delta: F3) -> Array:
         p1 = to_sample_coords(pos + delta, consts)
         p2 = to_sample_coords(pos - delta, consts)
-        return sample_trilinear(emission, p1) - sample_trilinear(emission, p2)
+        return em_sampler(p1) - em_sampler(p2)
 
     zero = jnp.zeros_like(pos.x)
     gx = diff(F3(gs.x + zero, zero, zero))
@@ -220,30 +257,31 @@ def otf_tap_positions(pos: F3, consts: MarchConsts) -> Tuple[F3, ...]:
     return tuple(out)
 
 
-def gather_taps(scene: Scene, consts: MarchConsts, pos: F3) -> Taps:
+def gather_taps(scene: Scene, consts: MarchConsts, pos: F3, samplers=None) -> Taps:
     """All texture fetches of one march step.
 
     Aliased roles (scene.absorption/reflection None) reuse the emission
     fetch — the reference's texture aliasing (volumeRender_kernel.cu:
     631-648) turned into a statically deduplicated gather.
     """
+    if samplers is None:
+        samplers = make_samplers(scene)
     sample_pos = to_sample_coords(pos, consts)
-    em = sample_trilinear(scene.emission.data, sample_pos)
-    ab = em if scene.absorption_aliased else sample_trilinear(scene.absorption.data, sample_pos)
+    em = samplers.em(sample_pos)
+    ab = em if samplers.ab is samplers.em else samplers.ab(sample_pos)
     re = None
     grad_taps = None
     if scene.has_lighting:
-        re = em if scene.reflection_aliased else sample_trilinear(scene.reflection.data, sample_pos)
+        re = em if samplers.re is samplers.em else samplers.re(sample_pos)
         if scene.has_gradient_volumes:
             grad_taps = (
-                sample_trilinear(scene.gradient_x.data, sample_pos),
-                sample_trilinear(scene.gradient_y.data, sample_pos),
-                sample_trilinear(scene.gradient_z.data, sample_pos),
+                samplers.gx(sample_pos),
+                samplers.gy(sample_pos),
+                samplers.gz(sample_pos),
             )
         else:
             grad_taps = tuple(
-                sample_trilinear(scene.emission.data, p)
-                for p in otf_tap_positions(pos, consts)
+                samplers.em(p) for p in otf_tap_positions(pos, consts)
             )
     return Taps(em=em, ab=ab, re=re, grad_taps=grad_taps)
 
@@ -255,6 +293,7 @@ def shade_from_taps(
     taps: Taps,
     pos: F3,
     eye_origin: F3,
+    samplers: "Samplers" = None,
 ) -> F3:
     """Illumination sum over all light sources; zero F3 if lighting is off.
 
@@ -266,6 +305,8 @@ def shade_from_taps(
     zero = jnp.zeros_like(pos.x)
     if not scene.has_lighting:
         return F3(zero, zero, zero)
+    if samplers is None:
+        samplers = make_samplers(scene)
 
     if scene.has_gradient_volumes:
         gx, gy, gz = taps.grad_taps
@@ -304,7 +345,7 @@ def shade_from_taps(
         light_in_proj = light_in - dot(light_in, surface_normal) * surface_normal
         g = angle(light_in_proj, light_out_proj) / PI
 
-        light = sample_trilinear(scene.illumination, F3(a, b, g))
+        light = samplers.lut(F3(a, b, g))
 
         contrib = reflection * light
         result = result + F3(contrib * lc[0] * params.color.x,
@@ -320,6 +361,7 @@ def step_from_taps(
     taps: Taps,
     pos: F3,
     eye_origin: F3,
+    samplers: "Samplers" = None,
 ) -> Tuple[F3, Array]:
     """Closed-form step math from fetched taps: (premultiplied rgb, alpha)."""
     emission = params.factor_emission * taps.em
@@ -335,7 +377,7 @@ def step_from_taps(
         emission * ds * params.color.z,
     )
 
-    illumination = shade_from_taps(scene, consts, params, taps, pos, eye_origin)
+    illumination = shade_from_taps(scene, consts, params, taps, pos, eye_origin, samplers)
     illuminated = colored + illumination
 
     shaded_rgb = F3(illuminated.x * alpha, illuminated.y * alpha, illuminated.z * alpha)
@@ -347,10 +389,15 @@ def march_step(
     consts: MarchConsts,
     pos: F3,
     eye_origin: F3,
+    samplers: "Samplers" = None,
 ) -> Tuple[F3, Array]:
     """One march step: returns (premultiplied rgb, alpha) at ``pos``."""
-    taps = gather_taps(scene, consts, pos)
-    return step_from_taps(scene, consts, params_of(scene, consts), taps, pos, eye_origin)
+    if samplers is None:
+        samplers = make_samplers(scene)
+    taps = gather_taps(scene, consts, pos, samplers)
+    return step_from_taps(
+        scene, consts, params_of(scene, consts), taps, pos, eye_origin, samplers
+    )
 
 
 def composite_under(
