@@ -30,6 +30,26 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+def pvary_tree(tree, axis_name: str):
+    """Mark every array leaf of ``tree`` as device-varying over ``axis_name``.
+
+    Replicated (unvarying) inputs entering ``shard_map`` produce
+    device-varying gradients; under JAX's varying-manual-axes typing a
+    custom-VJP bwd rule must return cotangents whose varying axes match
+    the primal inputs, so the inputs themselves must be promoted to
+    varying before differentiation. Uses ``jax.lax.pcast`` when available
+    (jax >= 0.9) and falls back to ``jax.lax.pvary``.
+    """
+    def _pv(x):
+        if not isinstance(x, jnp.ndarray):
+            return x
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, axis_name, to="varying")
+        return jax.lax.pvary(x, axis_name)  # pragma: no cover
+
+    return jax.tree.map(_pv, tree)
+
+
 Params = Dict[str, Any]
 
 
@@ -149,6 +169,11 @@ def train_step_sharded(
     rows_per = opts.height // n
 
     def shard_fn(params_l, scene_l, target_band):
+        # promote the replicated params/scene to rays-varying so the
+        # custom-VJP backward's per-shard cotangents type-check (see
+        # pvary_tree); the psum below restores the replicated gradients.
+        params_l = pvary_tree(params_l, axis_name)
+        scene_l = pvary_tree(scene_l, axis_name)
         i = jax.lax.axis_index(axis_name)
         loss, grads = jax.value_and_grad(band_loss)(
             params_l, scene_l, opts, target_band, i * rows_per, rows_per,
