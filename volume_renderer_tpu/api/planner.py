@@ -1,0 +1,158 @@
+"""Memory planner: the TPU replacement for the reference's VRAM pre-flight.
+
+The reference REFUSES renders that don't fit device memory
+(``MManager::checkFreeDeviceMemory``, reference src/C/vr/mm/mmanager.hxx:
+144-173, hard mexErrMsgTxt) and leaves the user to split the scene manually
+(README.md:5 multi-pass convention). Here the planner *plans* instead of
+erroring: it estimates the scene's deduplicated device footprint plus the
+march transients, and when the flat path would not fit the budget it
+selects the z-slab sweep (ops/slab.py) with a slab count that bounds the
+working set — same math, same image, one chip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from volume_renderer_tpu.models.scene import RenderOptions, Scene
+
+_F32 = 4
+
+
+def _unique_volumes(scene: Scene):
+    """Deduplicated list of (name, shape) actually resident for the march."""
+    vols = [("emission", scene.emission.data)]
+    if not scene.absorption_aliased:
+        vols.append(("absorption", scene.absorption.data))
+    if scene.has_lighting and not scene.reflection_aliased:
+        vols.append(("reflection", scene.reflection.data))
+    if scene.has_lighting and scene.has_gradient_volumes:
+        vols.append(("gradient_x", scene.gradient_x.data))
+        vols.append(("gradient_y", scene.gradient_y.data))
+        vols.append(("gradient_z", scene.gradient_z.data))
+    seen = set()
+    out = []
+    for name, data in vols:
+        if id(data) in seen:
+            continue
+        seen.add(id(data))
+        out.append((name, tuple(data.shape)))
+    return out
+
+
+def scene_volume_bytes(scene: Scene) -> int:
+    """Deduplicated bytes of all voxel grids the march samples."""
+    total = sum(int(np.prod(shape)) * _F32 for _, shape in _unique_volumes(scene))
+    if scene.has_lighting and scene.illumination is not None:
+        total += int(np.prod(scene.illumination.shape)) * _F32
+    return total
+
+
+def ray_state_bytes(opts: RenderOptions) -> int:
+    """Per-ray march state (SoA f32: pos, step, origin, rgb, w, t, tnear,
+    tfar, masks — ~16 lanes with headroom x2 for fusion copies)."""
+    return opts.width * opts.height * _F32 * 32
+
+
+def device_memory_budget(default_bytes: int = 12 * 2**30) -> int:
+    """Usable device memory. Tries live stats; falls back to ``default``.
+
+    The reference queries cudaMemGetInfo (mmanager.hxx:150); TPUs expose
+    memory_stats() where available.
+    """
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        if "bytes_limit" in stats:
+            in_use = stats.get("bytes_in_use", 0)
+            return int(stats["bytes_limit"] - in_use)
+    except Exception:
+        pass
+    return default_bytes
+
+
+@dataclass(frozen=True)
+class RenderPlan:
+    path: str  # "flat" | "slabbed" | "streamed"
+    n_slabs: int = 1
+    est_bytes: int = 0
+    budget_bytes: int = 0
+
+    def __str__(self):
+        return (
+            f"RenderPlan({self.path}, n_slabs={self.n_slabs}, "
+            f"est={self.est_bytes / 2**20:.1f} MiB, "
+            f"budget={self.budget_bytes / 2**20:.1f} MiB)"
+        )
+
+
+def _divisors(n: int):
+    return sorted(d for d in range(1, n + 1) if n % d == 0)
+
+
+def plan_render(
+    scene: Scene,
+    opts: RenderOptions,
+    budget_bytes: Optional[int] = None,
+    headroom: float = 0.7,
+) -> RenderPlan:
+    """Pick flat / slab-swept / host-streamed execution for one device.
+
+    Memory model (``headroom`` additionally discounts the budget):
+    - flat: grids + rays + one grid-sized transient (XLA gather operand
+      copies and fusion buffers scale with the gathered table);
+    - slabbed: grids resident + double-buffered slabs + rays (per-step
+      transients scale with the slab, not the grid);
+    - streamed: grids on HOST; only slabs + rays device-resident.
+
+    Raises ValueError — the analog of the reference's pre-flight error
+    (mmanager.hxx:144-173) — only when even one halo-padded slab of the
+    largest volume exceeds the budget.
+    """
+    budget = int((budget_bytes if budget_bytes is not None else device_memory_budget())
+                 * headroom)
+    vol_bytes = scene_volume_bytes(scene)
+    rays = ray_state_bytes(opts)
+    est_flat = 2 * vol_bytes + rays
+    if est_flat <= budget:
+        return RenderPlan("flat", 1, est_flat, budget)
+
+    from volume_renderer_tpu.ops.slab import HALO
+
+    d = scene.emission.data.shape[0]
+    uniq = _unique_volumes(scene)
+
+    def slab_bytes(n_slabs):
+        if any(shape[0] % n_slabs != 0 for _, shape in uniq):
+            return None
+        if d // n_slabs + 2 * HALO > d:
+            return None
+        return sum(
+            (shape[0] // n_slabs + 2 * HALO) * shape[1] * shape[2] * _F32
+            for _, shape in uniq
+        )
+
+    best_stream = None
+    for n_slabs in _divisors(d):
+        if n_slabs == 1:
+            continue
+        sb = slab_bytes(n_slabs)
+        if sb is None:
+            continue
+        est = vol_bytes + 2 * sb + rays
+        if est <= budget:
+            return RenderPlan("slabbed", n_slabs, est, budget)
+        est_stream = 2 * sb + rays
+        if best_stream is None and est_stream <= budget:
+            best_stream = RenderPlan("streamed", n_slabs, est_stream, budget)
+    if best_stream is not None:
+        return best_stream
+    raise ValueError(
+        f"scene needs {est_flat / 2**20:.1f} MiB but budget is "
+        f"{budget / 2**20:.1f} MiB and no z-slab split fits; reduce the "
+        f"volume or image size (reference analog: mmanager.hxx:144-173)"
+    )

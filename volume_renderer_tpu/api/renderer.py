@@ -20,10 +20,12 @@ from typing import List, Optional, Sequence, Tuple, Union
 import jax.numpy as jnp
 import numpy as np
 
+from volume_renderer_tpu.api.planner import plan_render
 from volume_renderer_tpu.models.camera import Camera
 from volume_renderer_tpu.models.lights import LightSource, pack_lights
 from volume_renderer_tpu.models.scene import RenderSettings, Scene, build_render_options
 from volume_renderer_tpu.models.volume import Volume
+from volume_renderer_tpu.native import content_hash
 from volume_renderer_tpu.ops.forward import render_forward
 from volume_renderer_tpu.ops.oracle import render_oracle
 
@@ -70,6 +72,14 @@ class VolumeRenderer:
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
 
+        # Memory planner knobs: None = query the device (api/planner.py).
+        self.memory_budget_bytes: Optional[int] = None
+        self.last_plan = None
+
+        # content-hash cache for identical-volume dedup; keyed by array id
+        # with the array pinned so ids can't be recycled.
+        self._hash_cache: dict = {}
+
     # ---- scene assembly -------------------------------------------------
 
     def rotate(self, alpha_deg: float, beta_deg: float, gamma_deg: float) -> None:
@@ -83,22 +93,46 @@ class VolumeRenderer:
         self.volume_gradient_y = None
         self.volume_gradient_z = None
 
+    def _content_hash(self, data) -> int:
+        key = id(data)
+        hit = self._hash_cache.get(key)
+        if hit is not None and hit[0] is data:
+            return hit[1]
+        h = content_hash(np.asarray(data))
+        self._hash_cache[key] = (data, h)  # pin the array so ids are stable
+        return h
+
+    def _same_volume(self, a: Optional[Volume], b: Optional[Volume]) -> bool:
+        """Reference-parity volume equality (volumeRender_kernel.cu:790-817:
+        ``Volume::operator==`` compares extents then contents)."""
+        if a is None or b is None:
+            return False
+        if a is b or a.data is b.data:
+            return True
+        if tuple(a.data.shape) != tuple(b.data.shape):
+            return False
+        if self._content_hash(a.data) != self._content_hash(b.data):
+            return False
+        # hash match: confirm with an exact comparison (collision guard)
+        return bool(np.array_equal(np.asarray(a.data), np.asarray(b.data)))
+
     def _build_scene(self) -> Scene:
         if self.volume_emission is None or self.volume_absorption is None:
             raise ValueError("Not all volumes are properly set! "
                              "(emission and absorption are required)")
 
         # Identical-volume deduplication (the reference's syncWithDevice
-        # aliasing, volumeRender_kernel.cu:739-867): sampling an aliased
-        # role costs no extra gathers.
+        # aliasing, volumeRender_kernel.cu:739-867, which aliases any
+        # PAIRWISE-EQUAL volumes, not just same-object ones): object
+        # identity short-circuits; otherwise equal-size volumes are
+        # compared by cached content hash + exact equality check, so two
+        # equal-VALUED distinct arrays also share one resident grid.
         absorption = self.volume_absorption
-        if absorption is self.volume_emission or absorption.data is self.volume_emission.data:
+        if self._same_volume(absorption, self.volume_emission):
             absorption = None
 
         reflection = self.volume_reflection
-        if reflection is not None and (
-            reflection is self.volume_emission or reflection.data is self.volume_emission.data
-        ):
+        if reflection is not None and self._same_volume(reflection, self.volume_emission):
             reflection = None
         elif reflection is None:
             # VolumeRender.m:131 defaults VolumeReflection to Volume(1)
@@ -151,6 +185,22 @@ class VolumeRenderer:
         )
         if self.backend == "oracle":
             return render_oracle(scene, opts, camera_x_offset)
+        # memory pre-flight: flat when it fits, z-slab sweep when it
+        # doesn't (the reference errors instead, mmanager.hxx:144-173)
+        plan = plan_render(scene, opts, budget_bytes=self.memory_budget_bytes)
+        self.last_plan = plan
+        if plan.path == "slabbed":
+            from volume_renderer_tpu.ops.slab import render_forward_slabbed
+
+            return render_forward_slabbed(
+                scene, opts, camera_x_offset, n_slabs=plan.n_slabs
+            )
+        if plan.path == "streamed":
+            from volume_renderer_tpu.ops.slab import render_forward_streamed
+
+            return render_forward_streamed(
+                scene, opts, camera_x_offset, n_slabs=plan.n_slabs
+            )
         return render_forward(scene, opts, camera_x_offset)
 
     # ---- rendering ------------------------------------------------------

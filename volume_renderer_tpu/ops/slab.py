@@ -1,0 +1,376 @@
+"""Single-device z-slab-swept ray march for volumes larger than fast memory.
+
+The reference's answer to over-size scenes is a hard VRAM pre-flight error
+plus a manual multi-pass convention (reference src/C/vr/mm/mmanager.hxx:
+144-173, README.md:5). Here the renderer itself sweeps the volume in
+z-slabs on ONE device, in two tiers:
+
+- ``render_forward_slabbed``: grids stay in HBM; slab s (+HALO rows each
+  side) is ``lax.dynamic_slice``d per sweep step, bounding the march's
+  per-step working set to one slab per volume role.
+- ``render_forward_streamed``: grids stay on the HOST (numpy); the Python
+  sweep ships one slab at a time to the device — volumes larger than
+  device memory render on a single chip.
+
+Front-to-back "under" compositing is associative over (premultiplied
+color, alpha) segments, so sweeping slabs in each ray's own traversal
+order reproduces the flat march exactly — including the opacity-threshold
+early exit, which bricked multi-device mode (parallel/bricks.py) only
+recovers via its ring schedule.
+
+Rays with direction dz >= 0 traverse slabs in ascending z order; rays with
+dz < 0 in descending order. Two sweeps (each skipped when it owns no rays)
+share the same accumulators with disjoint ray masks.
+
+Step ownership is the same rule as parallel/bricks.py: a march step belongs
+to slab ``clip(floor(z_normalized * B), 0, B-1)`` evaluated at its sample
+position, so each global step executes exactly once. Positions use the
+closed form pos0 + n*step (ulp-level drift vs the accumulated pos += step
+of ops/forward.py; allclose).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volume_renderer_tpu.models.scene import RenderOptions, Scene
+from volume_renderer_tpu.ops import raymarch_core as core
+from volume_renderer_tpu.ops.float3 import F3
+from volume_renderer_tpu.ops.forward import _init_rays
+from volume_renderer_tpu.ops.sampling import sample_trilinear, sample_trilinear_zslab
+
+HALO = 2  # rows each side: trilinear needs +-1, OTF gradient taps +-2
+
+# slab-carried volume roles, in a fixed order (subset active per scene)
+_ROLES = ("em", "ab", "re", "gx", "gy", "gz")
+
+
+def _check_divisible(scene: Scene, n: int) -> None:
+    # only roles the march actually samples (e.g. the facade's (1,1,1)
+    # reflection placeholder is never sampled when lighting is off)
+    for role, data in _role_volumes(scene).items():
+        d = data.shape[0]
+        if d % n != 0:
+            raise ValueError(
+                f"{role} depth {d} must be divisible by n_slabs={n} "
+                f"(pad the volume)"
+            )
+        if d // n + 2 * HALO > d:
+            raise ValueError(
+                f"n_slabs={n} too fine for depth {d}: slab+halo would "
+                f"exceed the volume"
+            )
+
+
+def _role_volumes(scene: Scene):
+    """role -> full volume array for every role the march samples."""
+    out = {"em": scene.emission.data}
+    if not scene.absorption_aliased:
+        out["ab"] = scene.absorption.data
+    if scene.has_lighting:
+        if not scene.reflection_aliased:
+            out["re"] = scene.reflection.data
+        if scene.has_gradient_volumes:
+            out["gx"] = scene.gradient_x.data
+            out["gy"] = scene.gradient_y.data
+            out["gz"] = scene.gradient_z.data
+    return out
+
+
+def _slab_window(d: int, n_slabs: int, s):
+    """Clamped (start, rows) of slab s's halo-padded window in a depth-d grid."""
+    bd = d // n_slabs
+    rows = bd + 2 * HALO
+    start = jnp.clip(s * bd - HALO, 0, d - rows)
+    return start, rows
+
+
+def _samplers_from_slabs(scene: Scene, slabs, z_offsets, full_ds) -> core.Samplers:
+    """Samplers over halo-padded z-slab arrays (GLOBAL normalized coords).
+
+    slabs/z_offsets/full_ds: dicts keyed by role. Values identical to
+    full-volume sampling for every z index the owner rule can touch.
+    """
+
+    def mk(role):
+        slab, off, d = slabs[role], z_offsets[role], full_ds[role]
+        return lambda p: sample_trilinear_zslab(slab, p, off, d)
+
+    em = mk("em")
+    ab = em if "ab" not in slabs else mk("ab")
+    re = gx = gy = gz = lut = None
+    if scene.has_lighting:
+        re = em if "re" not in slabs else mk("re")
+        lut = lambda p: sample_trilinear(scene.illumination, p)  # noqa: E731
+        if scene.has_gradient_volumes:
+            gx, gy, gz = mk("gx"), mk("gy"), mk("gz")
+    return core.Samplers(em=em, ab=ab, re=re, gx=gx, gy=gy, gz=gz, lut=lut)
+
+
+class _Rays:
+    """Bundle of the per-ray march setup shared by all slab iterations."""
+
+    def __init__(self, scene, opts, camera_x_offset, y_offset, n_rows):
+        (self.consts, self.origin, self.pos0, self.step, self.tnear,
+         self.tfar, self.hit) = _init_rays(
+            scene, opts, camera_x_offset, y_offset=y_offset, n_rows=n_rows
+        )
+        self.n_steps = opts.n_steps
+
+    def pos_at(self, n_cur):
+        nf = n_cur.astype(jnp.float32)
+        return self.pos0 + F3(self.step.x * nf, self.step.y * nf, self.step.z * nf)
+
+    def dz(self):
+        return self.step.z / self.consts.tstep
+
+    def marchable(self, n_cur, w, mask, early_exit: bool):
+        """Rays that still have steps to run (in whatever slab)."""
+        t = self.tnear + self.consts.tstep * n_cur.astype(jnp.float32)
+        alive = self.hit & mask & (n_cur < self.n_steps) & (t <= self.tfar)
+        if early_exit:
+            alive = alive & (w <= self.consts.opacity_threshold)
+        # the reference's unconditional first step (t == tnear runs even
+        # when tnear > tfar after the behind-camera clamp)
+        return alive | (self.hit & mask & (n_cur == 0))
+
+
+def _march_one_slab(scene, rays: _Rays, samplers, owner_of, s, mask, state,
+                    early_exit: bool):
+    """Run every masked ray through its steps owned by slab ``s``."""
+    n_cur0, rgb0, w0 = state
+
+    def in_slab(n_cur, w):
+        return (rays.marchable(n_cur, w, mask, early_exit)
+                & (owner_of(rays.pos_at(n_cur).z) == s))
+
+    def step_body(c):
+        n_cur, rgb, w = c
+        pos = rays.pos_at(n_cur)
+        active = in_slab(n_cur, w)
+        s_rgb, alpha = core.march_step(scene, rays.consts, pos, rays.origin, samplers)
+        new_rgb, new_w = core.composite_under(rgb, w, s_rgb, alpha)
+        rgb = F3(
+            jnp.where(active, new_rgb.x, rgb.x),
+            jnp.where(active, new_rgb.y, rgb.y),
+            jnp.where(active, new_rgb.z, rgb.z),
+        )
+        w = jnp.where(active, new_w, w)
+        n_cur = jnp.where(active, n_cur + 1, n_cur)
+        return (n_cur, rgb, w)
+
+    return jax.lax.while_loop(
+        lambda c: jnp.any(in_slab(c[0], c[2])), step_body, (n_cur0, rgb0, w0)
+    )
+
+
+def _make_owner(rays: _Rays, n: int):
+    inv_bz = rays.consts.boxscale.z
+
+    def owner_of(pos_z):
+        znorm = (pos_z - rays.consts.boxmin.z) * inv_bz
+        return jnp.clip(jnp.floor(znorm * n).astype(jnp.int32), 0, n - 1)
+
+    return owner_of
+
+
+def _image_of(rgb: F3, n_rows: int, width: int) -> jnp.ndarray:
+    return jnp.stack(
+        [
+            rgb.x.reshape(n_rows, width),
+            rgb.y.reshape(n_rows, width),
+            rgb.z.reshape(n_rows, width),
+        ],
+        axis=-1,
+    )
+
+
+@partial(jax.jit, static_argnames=("opts", "n_slabs", "n_rows", "early_exit"))
+def render_forward_slabbed(
+    scene: Scene,
+    opts: RenderOptions,
+    camera_x_offset=0.0,
+    *,
+    n_slabs: int,
+    y_offset=0,
+    n_rows: Optional[int] = None,
+    early_exit: bool = True,
+) -> jnp.ndarray:
+    """Forward render sweeping HBM-resident grids in ``n_slabs`` z-slabs.
+
+    Output matches ``render_forward`` allclose, including exact per-ray
+    opacity-threshold early termination (``early_exit=True``). The march's
+    per-step volume working set is one halo-padded slab per non-aliased
+    role instead of the full grids — the single-chip over-size path
+    selected by the memory planner (volume_renderer_tpu.api.planner).
+    """
+    _check_divisible(scene, n_slabs)
+    if n_rows is None:
+        n_rows = opts.height
+
+    rays = _Rays(scene, opts, camera_x_offset, y_offset, n_rows)
+    n = n_slabs
+    owner_of = _make_owner(rays, n)
+    vols = _role_volumes(scene)
+    full_ds = {r: v.shape[0] for r, v in vols.items()}
+
+    def slabs_at(s):
+        slabs, offs = {}, {}
+        for role, data in vols.items():
+            start, rows = _slab_window(data.shape[0], n, s)
+            slabs[role] = jax.lax.dynamic_slice(
+                data, (start, 0, 0), (rows, data.shape[1], data.shape[2])
+            )
+            offs[role] = start
+        return slabs, offs
+
+    zeros = jnp.zeros_like(rays.tnear)
+    fwd_rays = rays.dz() >= 0
+
+    def make_sweep(mask, ascending: bool):
+        def slab_body(carry):
+            s_iter, state = carry
+            s = s_iter if ascending else (n - 1 - s_iter)
+            slabs, offs = slabs_at(s)
+            samplers = _samplers_from_slabs(scene, slabs, offs, full_ds)
+            state = _march_one_slab(
+                scene, rays, samplers, owner_of, s, mask, state, early_exit
+            )
+            return (s_iter + 1, state)
+
+        def slab_cond(carry):
+            s_iter, (n_cur, _, w) = carry
+            return (s_iter < n) & jnp.any(rays.marchable(n_cur, w, mask, early_exit))
+
+        def sweep(state):
+            _, state = jax.lax.while_loop(slab_cond, slab_body, (jnp.int32(0), state))
+            return state
+
+        return sweep
+
+    state = (jnp.zeros_like(rays.tnear, dtype=jnp.int32), F3(zeros, zeros, zeros), zeros)
+    for mask, ascending in ((fwd_rays, True), (~fwd_rays, False)):
+        state = jax.lax.cond(
+            jnp.any(rays.hit & mask), make_sweep(mask, ascending), lambda st: st, state
+        )
+
+    _, rgb, _ = state
+    return _image_of(rgb, n_rows, opts.width)
+
+
+# ---- host-streamed tier ------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("opts", "n_slabs", "n_rows", "ascending", "roles"))
+def _streamed_slab_step(
+    scene: Scene,
+    opts: RenderOptions,
+    camera_x_offset,
+    slab_arrays,  # tuple of arrays, one per role in ``roles``
+    z_offsets,  # tuple of traced ints
+    full_ds_arr,  # tuple of traced ints
+    s,
+    state,
+    *,
+    n_slabs: int,
+    n_rows: int,
+    ascending: bool,
+    roles: tuple,
+):
+    """March one streamed slab; returns (state, any_marchable_after)."""
+    rays = _Rays(scene, opts, camera_x_offset, 0, n_rows)
+    owner_of = _make_owner(rays, n_slabs)
+    mask = (rays.dz() >= 0) if ascending else (rays.dz() < 0)
+    slabs = dict(zip(roles, slab_arrays))
+    offs = dict(zip(roles, z_offsets))
+    fds = dict(zip(roles, full_ds_arr))
+    samplers = _samplers_from_slabs(scene, slabs, offs, fds)
+    state = _march_one_slab(scene, rays, samplers, owner_of, s, mask, state, True)
+    n_cur, _, w = state
+    return state, jnp.any(rays.marchable(n_cur, w, mask, True))
+
+
+@partial(jax.jit, static_argnames=("opts", "n_rows"))
+def _streamed_setup(scene: Scene, opts: RenderOptions, camera_x_offset, n_rows: int):
+    rays = _Rays(scene, opts, camera_x_offset, 0, n_rows)
+    zeros = jnp.zeros_like(rays.tnear)
+    state = (jnp.zeros_like(rays.tnear, dtype=jnp.int32), F3(zeros, zeros, zeros), zeros)
+    dz = rays.dz()
+    any_fwd = jnp.any(rays.hit & (dz >= 0))
+    any_bwd = jnp.any(rays.hit & (dz < 0))
+    return state, any_fwd, any_bwd
+
+
+def render_forward_streamed(
+    scene: Scene,
+    opts: RenderOptions,
+    camera_x_offset: float = 0.0,
+    *,
+    n_slabs: int,
+) -> jnp.ndarray:
+    """Forward render with HOST-resident voxel grids streamed slab by slab.
+
+    ``scene``'s volume ``data`` members may be numpy arrays of any size —
+    only one halo-padded slab per role is ever device-resident, so a
+    single chip renders volumes larger than its memory. The Python-level
+    sweep re-uses one compiled slab-march per direction; the per-ray
+    (color, opacity, cursor) state stays on device between slabs.
+    """
+    _check_divisible(scene, n_slabs)
+    n_rows = opts.height
+
+    host_vols = {r: np.asarray(v) for r, v in _role_volumes(scene).items()}
+    roles = tuple(sorted(host_vols.keys()))
+    full_ds = tuple(int(host_vols[r].shape[0]) for r in roles)
+
+    # slim scene: placeholders for the big grids; march samples only slabs
+    ph = jnp.zeros((1, 1, 1), jnp.float32)
+
+    def ph_vol(v):
+        return None if v is None else v.replace(data=ph)
+
+    slim = scene.replace(
+        emission=scene.emission.replace(data=ph),
+        absorption=ph_vol(scene.absorption),
+        reflection=ph_vol(scene.reflection),
+        gradient_x=ph_vol(scene.gradient_x),
+        gradient_y=ph_vol(scene.gradient_y),
+        gradient_z=ph_vol(scene.gradient_z),
+    )
+    # ray setup needs the true emission extent for the render box; opts is
+    # precomputed from it, so the slim scene only feeds settings/camera.
+
+    state, any_fwd, any_bwd = _streamed_setup(slim, opts, camera_x_offset, n_rows)
+
+    def host_slab(role, s):
+        data = host_vols[role]
+        d = data.shape[0]
+        bd = d // n_slabs
+        rows = bd + 2 * HALO
+        start = int(np.clip(s * bd - HALO, 0, d - rows))
+        return data[start:start + rows], start
+
+    for ascending, anyrays in ((True, bool(any_fwd)), (False, bool(any_bwd))):
+        if not anyrays:
+            continue
+        order = range(n_slabs) if ascending else range(n_slabs - 1, -1, -1)
+        for s in order:
+            slabs, offs = zip(*(host_slab(r, s) for r in roles))
+            state, more = _streamed_slab_step(
+                slim, opts, jnp.float32(camera_x_offset),
+                tuple(jnp.asarray(x) for x in slabs),
+                tuple(jnp.int32(o) for o in offs),
+                tuple(jnp.int32(d) for d in full_ds),
+                jnp.int32(s), state,
+                n_slabs=n_slabs, n_rows=n_rows, ascending=ascending, roles=roles,
+            )
+            if not bool(more):  # all rays of this sweep finished early
+                break
+
+    _, rgb, _ = state
+    return _image_of(rgb, n_rows, opts.width)
