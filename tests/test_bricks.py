@@ -1,7 +1,8 @@
-"""Brick-sharded rendering vs single-device render.
+"""Brick-sharded rendering + gradients vs the single-device paths.
 
-Bricked mode composites segments exactly but skips the opacity-threshold
-early exit, so comparisons use a threshold that never triggers.
+Bricked mode applies the opacity-threshold early exit EXACTLY (two-phase
+transmittance relay, parallel/bricks.py docstring), so all comparisons
+run at the default 0.95 threshold.
 """
 
 import jax
@@ -10,9 +11,13 @@ import numpy as np
 import pytest
 
 from tests.helpers import make_scene
-from volume_renderer_tpu.parallel.bricks import render_forward_bricked
+from volume_renderer_tpu.parallel.bricks import (
+    render_forward_bricked,
+    render_fused_bricked,
+)
 from volume_renderer_tpu.parallel.sharding import make_mesh
 from volume_renderer_tpu.ops.forward import render_forward
+from volume_renderer_tpu.ops.vjp import render_fused, split_scene
 
 W, H = 16, 12
 
@@ -21,12 +26,6 @@ W, H = 16, 12
 def mesh():
     assert jax.device_count() >= 8
     return make_mesh(8, axis_name="bricks")
-
-
-def _uncapped(scene):
-    return scene.replace(
-        settings=scene.settings.replace(opacity_threshold=jnp.float32(10.0))
-    )
 
 
 @pytest.mark.parametrize(
@@ -40,7 +39,19 @@ def _uncapped(scene):
 )
 def test_bricked_matches_single(mesh, case):
     scene, _ = make_scene(vol_shape=(16, 12, 10), **case)
-    scene = _uncapped(scene)
+    opts = scene.options(W, H)
+    single = np.asarray(render_forward(scene, opts))
+    bricked = np.asarray(render_forward_bricked(scene, opts, mesh=mesh))
+    np.testing.assert_allclose(bricked, single, rtol=5e-4, atol=1e-5)
+
+
+def test_bricked_early_termination_exact(mesh):
+    """Dense scene + LOW threshold: terminations happen mid-volume and the
+    bricked result must still match the sequential early-exit march."""
+    scene, _ = make_scene(vol_shape=(16, 12, 10), factors=(3.0, 0.4, 4.0))
+    scene = scene.replace(
+        settings=scene.settings.replace(opacity_threshold=jnp.float32(0.3))
+    )
     opts = scene.options(W, H)
     single = np.asarray(render_forward(scene, opts))
     bricked = np.asarray(render_forward_bricked(scene, opts, mesh=mesh))
@@ -50,7 +61,6 @@ def test_bricked_matches_single(mesh, case):
 def test_bricked_negative_z_direction(mesh):
     """Camera flipped so rays traverse bricks in decreasing z order."""
     scene, _ = make_scene(vol_shape=(16, 12, 10), rotate=(180.0, 20.0, 0.0))
-    scene = _uncapped(scene)
     opts = scene.options(W, H)
     single = np.asarray(render_forward(scene, opts))
     bricked = np.asarray(render_forward_bricked(scene, opts, mesh=mesh))
@@ -67,7 +77,7 @@ def test_bricked_rejects_indivisible_depth(mesh):
 
 def test_bricked_aliased_volumes(mesh):
     scene, _ = make_scene(vol_shape=(16, 12, 10), lighting=True)
-    scene = _uncapped(scene).replace(absorption=None, reflection=None)
+    scene = scene.replace(absorption=None, reflection=None)
     opts = scene.options(W, H)
     single = np.asarray(render_forward(scene, opts))
     bricked = np.asarray(render_forward_bricked(scene, opts, mesh=mesh))
@@ -82,7 +92,6 @@ def test_bricked_2d_mesh():
     devices = _np.array(jax.devices()[:8]).reshape(2, 4)
     mesh2d = Mesh(devices, ("rays", "bricks"))
     scene, _ = make_scene(vol_shape=(16, 12, 10), lighting=True)
-    scene = _uncapped(scene)
     opts = scene.options(W, H)  # H=12 divisible by 2
     single = np.asarray(render_forward(scene, opts))
     out = np.asarray(
@@ -90,3 +99,68 @@ def test_bricked_2d_mesh():
     )
     assert out.shape == (H, W, 3)
     np.testing.assert_allclose(out, single, rtol=5e-4, atol=1e-5)
+
+
+# ---- backward through bricks ------------------------------------------------
+
+
+def _grads(render, scene, opts, target):
+    diff, template = split_scene(scene)
+
+    from volume_renderer_tpu.ops.vjp import merge_scene
+
+    def loss(d):
+        img = render(merge_scene(template, d))
+        return jnp.mean((img - target) ** 2)
+
+    return jax.grad(loss)(diff)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(lighting=False, gradient_volumes=False),
+        dict(lighting=True, gradient_volumes=False),
+        dict(lighting=True, gradient_volumes=True),
+    ],
+    ids=["plain", "light-otf", "light-lookup"],
+)
+def test_bricked_grads_match_single(mesh, case):
+    """Voxel/parameter gradients through the brick-sharded render match the
+    single-device fused custom-VJP path."""
+    scene, _ = make_scene(vol_shape=(16, 12, 10), **case)
+    opts = scene.options(W, H)
+    target = render_forward(scene, opts) * 0.8 + 0.001
+
+    g_single = _grads(lambda s: render_fused(s, opts), scene, opts, target)
+    g_brick = _grads(
+        lambda s: render_fused_bricked(s, opts, mesh=mesh), scene, opts, target
+    )
+
+    assert set(g_single.keys()) == set(g_brick.keys())
+    for key in g_single:
+        np.testing.assert_allclose(
+            np.asarray(g_brick[key]), np.asarray(g_single[key]),
+            rtol=2e-3, atol=2e-6, err_msg=f"gradient mismatch for {key}",
+        )
+
+
+def test_bricked_grads_early_termination(mesh):
+    """Gradients agree when the opacity break fires mid-volume (the replay
+    must stop at the same steps on both paths)."""
+    scene, _ = make_scene(vol_shape=(16, 12, 10), factors=(3.0, 0.4, 4.0))
+    scene = scene.replace(
+        settings=scene.settings.replace(opacity_threshold=jnp.float32(0.3))
+    )
+    opts = scene.options(W, H)
+    target = render_forward(scene, opts) * 0.8
+
+    g_single = _grads(lambda s: render_fused(s, opts), scene, opts, target)
+    g_brick = _grads(
+        lambda s: render_fused_bricked(s, opts, mesh=mesh), scene, opts, target
+    )
+    for key in g_single:
+        np.testing.assert_allclose(
+            np.asarray(g_brick[key]), np.asarray(g_single[key]),
+            rtol=2e-3, atol=2e-6, err_msg=f"gradient mismatch for {key}",
+        )

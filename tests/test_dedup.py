@@ -78,3 +78,15 @@ def test_aliased_render_matches_unaliased():
     img2 = np.asarray(r2.render())
     assert r2._build_scene().absorption is not None
     np.testing.assert_allclose(img1, img2, rtol=1e-3, atol=1e-5)
+
+
+def test_mem_info_reports_content_sharing():
+    """mem_info uses the same content-equality rule as the render path:
+    two equal-VALUED distinct arrays report as one resident grid."""
+    rng = np.random.default_rng(5)
+    em = rng.random((8, 8, 8)).astype(np.float32)
+    r = _renderer(em, em.copy())  # distinct array, equal content
+    info = r.mem_info()
+    assert "shared with volume_emission" in info
+    nbytes = em.size * 4
+    assert f"total (deduplicated): {nbytes / 2**20:.1f} MiB" in info

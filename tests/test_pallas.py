@@ -1,0 +1,104 @@
+"""Pallas march kernel vs the flat reference path (interpret mode on CPU).
+
+The kernel (ops/pallas_march.py) restructures the march into a tiled
+principal-axis sweep; these tests pin its output to render_forward —
+which is itself pinned to the per-pixel oracle and the independent numpy
+reference elsewhere — across sweep axes, directions, aliasing, image
+tilings, and odd volume extents.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from volume_renderer_tpu.models.camera import Camera
+from volume_renderer_tpu.models.scene import RenderSettings, Scene
+from volume_renderer_tpu.models.volume import Volume
+from volume_renderer_tpu.ops.forward import render_forward
+from volume_renderer_tpu.ops.pallas_march import (
+    choose_sweep_axis,
+    pallas_supported,
+    render_forward_fast,
+)
+
+
+def _scene(vol=14, rot=(125, 25, 0), alias=False, seed=0):
+    rng = np.random.RandomState(seed)
+    z, y, x = np.mgrid[0:vol, 0:vol, 0:vol].astype(np.float32)
+    c = (vol - 1) / 2.0
+    r2 = ((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) / (c * c)
+    em = np.exp(-4.0 * (np.sqrt(r2) - 0.6) ** 2).astype(np.float32)
+    em += 0.1 * rng.rand(*em.shape).astype(np.float32)
+    ab = (em * 0.8 + 0.05 * rng.rand(*em.shape)).astype(np.float32)
+    cam = Camera.create(focal_length=3.0, distance_to_object=6.0).rotate(*rot)
+    return Scene(
+        emission=Volume.create(em),
+        absorption=None if alias else Volume.create(ab),
+        camera=cam,
+        settings=RenderSettings.create(
+            factor_emission=1.0, factor_absorption=0.8, color=(1.0, 0.9, 0.8),
+            opacity_threshold=0.95,
+        ),
+    )
+
+
+def _check(scene, w=32, h=32, atol=3e-5, rtol=3e-4):
+    opts = scene.options(w, h)
+    ref = np.asarray(render_forward(scene, opts))
+    out = np.asarray(render_forward_fast(scene, opts, interpret=True))
+    assert out.shape == (h, w, 3)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=atol, rtol=rtol)
+
+
+@pytest.mark.parametrize(
+    "rot",
+    [(0, 0, 0), (180, 0, 0), (90, 0, 0), (0, 90, 0), (125, 25, 0),
+     (200, 160, 80)],
+    ids=["z+", "z-", "ax1", "ax2", "tilt", "tilt2"],
+)
+def test_matches_flat_across_sweep_axes(rot):
+    _check(_scene(rot=rot))
+
+
+def test_sweep_axes_covered():
+    seen = set()
+    for rot in [(0, 0, 0), (90, 0, 0), (0, 90, 0)]:
+        seen.add(choose_sweep_axis(_scene(rot=rot))[0])
+    assert seen == {"x", "y", "z"}
+
+
+def test_aliased_absorption():
+    _check(_scene(alias=True))
+
+
+def test_multi_tile_nonsquare_image():
+    # 2x3 tile grid with crop (image not a multiple of the 32-pixel tile)
+    _check(_scene(vol=13, rot=(125, 25, 0)), w=72, h=40)
+
+
+def test_opaque_scene_early_termination():
+    scene = _scene(rot=(125, 25, 0))
+    scene = scene.replace(
+        absorption=scene.absorption.replace(
+            data=scene.absorption.data * 60.0 + 5.0)
+    )
+    _check(scene)
+
+
+def test_lighting_scene_falls_back():
+    from volume_renderer_tpu.ops.hg import henyey_greenstein_lut
+
+    scene = _scene()
+    scene = scene.replace(
+        reflection=Volume.create(np.asarray(scene.emission.data)),
+        illumination=henyey_greenstein_lut(8),
+        light_positions=jnp.asarray([[2.0, 3.0, -1.5]], jnp.float32),
+        light_colors=jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32),
+    )
+    opts = scene.options(16, 16)
+    assert not pallas_supported(scene, opts)
+    ref = np.asarray(render_forward(scene, opts))
+    out = np.asarray(render_forward_fast(scene, opts, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)

@@ -72,8 +72,17 @@ def test_slabbed_rejects_indivisible():
 # ---- planner ----------------------------------------------------------------
 
 
-def test_planner_flat_when_fits():
+def test_planner_fast_path_when_fits():
+    # lighting-off scene in budget -> the Pallas march (throughput-first)
     scene, _ = make_scene(vol_shape=(16, 12, 10))
+    opts = scene.options(W, H)
+    plan = plan_render(scene, opts, budget_bytes=1 << 30)
+    assert plan.path == "pallas"
+
+
+def test_planner_flat_when_pallas_unsupported():
+    # lighting on is outside the kernel envelope -> flat gather path
+    scene, _ = make_scene(vol_shape=(16, 12, 10), lighting=True)
     opts = scene.options(W, H)
     plan = plan_render(scene, opts, budget_bytes=1 << 30)
     assert plan.path == "flat"
@@ -153,7 +162,7 @@ def test_renderer_uses_slab_plan():
 
     r_flat = make(1 << 30)
     img_flat = np.asarray(r_flat.render())
-    assert r_flat.last_plan.path == "flat"
+    assert r_flat.last_plan.path == "pallas"
 
     vol_bytes = 2 * em.size * 4  # em + ab grids
     from volume_renderer_tpu.models.scene import build_render_options

@@ -77,7 +77,7 @@ def device_memory_budget(default_bytes: int = 12 * 2**30) -> int:
 
 @dataclass(frozen=True)
 class RenderPlan:
-    path: str  # "flat" | "slabbed" | "streamed"
+    path: str  # "pallas" | "flat" | "slabbed" | "streamed"
     n_slabs: int = 1
     est_bytes: int = 0
     budget_bytes: int = 0
@@ -99,8 +99,12 @@ def plan_render(
     opts: RenderOptions,
     budget_bytes: Optional[int] = None,
     headroom: float = 0.7,
+    training: bool = False,
 ) -> RenderPlan:
     """Pick flat / slab-swept / host-streamed execution for one device.
+
+    ``training=True`` budgets for the backward pass too: gradient grids
+    are volume-sized residents on top of the forward working set.
 
     Memory model (``headroom`` additionally discounts the budget):
     - flat: grids + rays + one grid-sized transient (XLA gather operand
@@ -117,6 +121,22 @@ def plan_render(
                  * headroom)
     vol_bytes = scene_volume_bytes(scene)
     rays = ray_state_bytes(opts)
+    if training:  # gradient accumulator grids live alongside the forward
+        rays += vol_bytes
+
+    # Throughput-first: the tiled Pallas march (ops/pallas_march.py) beats
+    # every gather-based path whenever it applies — XLA's flat gather
+    # collapses ~200x once a sampled grid exceeds VMEM (~16 MiB), and even
+    # under that cliff the kernel's lane gathers are orders of magnitude
+    # faster. Its working set is the flat grids + an axis-permuted copy +
+    # per-tile VMEM windows, so it is also the memory-lightest device
+    # path. Degenerate cameras fall back inside render_forward_fast.
+    from volume_renderer_tpu.ops.pallas_march import pallas_supported
+
+    est_pallas = 2 * vol_bytes + rays
+    if pallas_supported(scene, opts) and est_pallas <= budget:
+        return RenderPlan("pallas", 1, est_pallas, budget)
+
     est_flat = 2 * vol_bytes + rays
     if est_flat <= budget:
         return RenderPlan("flat", 1, est_flat, budget)

@@ -189,6 +189,10 @@ class VolumeRenderer:
         # doesn't (the reference errors instead, mmanager.hxx:144-173)
         plan = plan_render(scene, opts, budget_bytes=self.memory_budget_bytes)
         self.last_plan = plan
+        if plan.path == "pallas":
+            from volume_renderer_tpu.ops.pallas_march import render_forward_fast
+
+            return render_forward_fast(scene, opts, camera_x_offset)
         if plan.path == "slabbed":
             from volume_renderer_tpu.ops.slab import render_forward_slabbed
 
@@ -243,17 +247,21 @@ class VolumeRenderer:
         reference mm/mmanager.hxx:218-284)."""
         lines = ["volume_renderer_tpu scene memory:"]
         total = 0
-        seen = {}
+        seen = []  # (name, Volume) already counted as resident
         for name in ("volume_emission", "volume_absorption", "volume_reflection",
                      "volume_gradient_x", "volume_gradient_y", "volume_gradient_z"):
             vol = getattr(self, name)
             if vol is None:
                 continue
             nbytes = int(np.prod(vol.data.shape)) * 4
-            key = id(vol.data)
-            dedup = " (shared)" if key in seen else ""
-            seen[key] = name
-            if not dedup:
+            # same pairwise content-equality rule the render path uses for
+            # aliasing (_same_volume), so the report matches what is
+            # actually resident — not just object identity.
+            shared_with = next(
+                (n for n, v in seen if self._same_volume(vol, v)), None)
+            dedup = f" (shared with {shared_with})" if shared_with else ""
+            if not shared_with:
+                seen.append((name, vol))
                 total += nbytes
             lines.append(f"  {name}: shape={tuple(vol.data.shape)} {nbytes / 2**20:.1f} MiB{dedup}")
         if self.volume_illumination is not None:

@@ -1,0 +1,595 @@
+"""Tiled Pallas TPU ray-march kernel — the fast forward path.
+
+TPU-first re-design of the reference's per-pixel CUDA march (reference
+src/C/vr/volumeRender_kernel.cu:365-507). The CUDA kernel leans on the
+texture cache for its 8-corner trilinear fetches; the TPU has no gather
+hardware, so the march is restructured around what the VPU can do fast —
+128-lane dynamic gathers (``take_along_axis``) from VMEM-resident rows —
+without changing the math:
+
+- The image is cut into 32x32-pixel tiles (1024 rays = one (8,128) vreg
+  set); the Pallas grid runs one program per tile (the analog of the
+  reference's 16x16 thread blocks, src/C/mex/render.cpp:236-238).
+- Each tile sweeps the volume along a per-render principal axis, one
+  slice pair (s, s+1) at a time, front-to-back for every ray at once.
+  A ray's march steps whose trilinear base slice is ``s`` form a
+  contiguous step interval (the sweep coordinate is affine in the step
+  index), so sweeping slice pairs in ray order preserves the exact
+  front-to-back compositing semantics — including the per-ray opacity
+  early exit (volumeRender_kernel.cu:485-492), applied as a mask.
+- Per (tile, slice pair), the tile's sample footprint is a small window;
+  the kernel computes its origin in-kernel (vector min over live rays),
+  DMAs the (2, WR, WC) window from the HBM-resident volume into VMEM,
+  and serves all 8 trilinear corner fetches with a row-scan of lane
+  gathers over the window. The scan is bounded per step by the live
+  rays' row range, so cost tracks the true footprint.
+- Termination, box clipping, and the trilinear/compositing math match
+  ops/forward.py (same formulas; positions in closed form pos0 + k*step
+  like ops/slab.py — allclose, not bit-identical, to the accumulated
+  positions of the while-loop path).
+
+Scope (v1): lighting-off scenes (emission + absorption, absorption
+optionally aliased). Lighting-on renders fall back to ops/forward.py.
+
+The kernel cannot serve every camera: it requires all box-hitting rays
+to advance monotonically along one axis (true for any perspective camera
+whose field of view keeps direction components bounded away from zero —
+every reference example qualifies). ``render_forward_fast`` checks this
+on device and falls back to the flat path, and re-renders via the flat
+path if a tile's footprint overflows the static window (overflow flag).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from volume_renderer_tpu.models.scene import RenderOptions, Scene
+from volume_renderer_tpu.ops.float3 import F3
+from volume_renderer_tpu.ops.geometry import generate_rays, intersect_box
+
+TILE = 32  # image tile edge (TILE*TILE == 8*128 rays, one vreg set)
+_A_MIN = 0.05  # min |sweep-voxels per step|; below -> fallback (march
+# would spend >~25 steps per slice pair and window drift is unbounded)
+_BIG = 3.0e7  # safe pre-int-cast clamp magnitude (python float: kernels
+# must not capture traced/jnp constants)
+
+
+class _KCfg(NamedTuple):
+    """Static kernel configuration (hashable; part of the jit key)."""
+
+    d: int            # sweep-axis extent (real)
+    h: int            # row-axis extent (real)
+    w: int            # lane-axis extent (real)
+    hp: int           # padded row extent (mult of 8)
+    wp: int           # padded lane extent (mult of 128)
+    wr: int           # window rows
+    wc: int           # window lanes (128 or 256)
+    ascending: bool
+    ab_aliased: bool
+    n_steps: int
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+_K = 8  # march steps per chunk: samples are batched (K*8, 128) so every
+# VPU op covers K vregs, amortizing issue/loop overhead across steps
+
+
+def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
+                  out_ref, ovf_ref, wem, wab, sems):
+    """One image tile: sweep all slice pairs, composite, write (4,8,128).
+
+    Inner structure: per slice pair, the tile's owned march steps are
+    processed in chunks of K steps; each chunk's 8*K*128 samples run
+    through one window row-scan and a roll-based prefix-product
+    compositor (front-to-back "under" is a prefix-scan over step
+    transmittances), so per-step work is pure batched vector code.
+    """
+    D, H, W = cfg.d, cfg.h, cfg.w
+    WR, WC = cfg.wr, cfg.wc
+    S = D - 1  # sweep positions (slice pairs)
+    K = _K
+    KS = K * 8
+
+    x0v = rayf_ref[0, 0]
+    xsv = rayf_ref[0, 1]
+    y0v = rayf_ref[0, 2]
+    ysv = rayf_ref[0, 3]
+    u0v = rayf_ref[0, 4]
+    av = rayf_ref[0, 5]
+    icap = rayi_ref[0, 0]
+    hit = rayi_ref[0, 1] != 0
+
+    tstep = consts_ref[0]
+    fem = consts_ref[1]
+    fab = consts_ref[2]
+    col_r = consts_ref[3]
+    col_g = consts_ref[4]
+    col_b = consts_ref[5]
+    thr = consts_ref[6]
+
+    inv_a = jnp.where(hit, 1.0 / jnp.where(hit, av, 1.0), 0.0)
+    icap_f = icap.astype(jnp.float32)
+
+    def rep(v):
+        """(8,128) -> (K*8,128): one copy per step slot of a chunk."""
+        return jnp.broadcast_to(v.reshape(1, 8, 128), (K, 8, 128)).reshape(KS, 128)
+
+    x0b, xsb, y0b, ysb, u0b, avb = map(rep, (x0v, xsv, y0v, ysv, u0v, av))
+    hitb = rep(rayi_ref[0, 1]) != 0
+
+    subl = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 0)
+    kofs = (subl // 8).astype(jnp.float32)  # step offset within chunk
+
+    def scan_mul(v):
+        """Inclusive prefix product over the K step groups (axis-0 rolls)."""
+        t = v
+        sh = 8
+        while sh < KS:
+            t = t * jnp.where(subl >= sh, pltpu.roll(t, sh, axis=0), 1.0)
+            sh *= 2
+        return t
+
+    def scan_add(v):
+        t = v
+        sh = 8
+        while sh < KS:
+            t = t + jnp.where(subl >= sh, pltpu.roll(t, sh, axis=0), 0.0)
+            sh *= 2
+        return t
+
+    def scan_or(v):
+        t = v
+        sh = 8
+        while sh < KS:
+            t = t | jnp.where(subl >= sh, pltpu.roll(t, sh, axis=0), 0)
+            sh *= 2
+        return t
+
+    def slab_ranges(s):
+        """Widened per-ray step interval [lo, hi) owned by slice pair s."""
+        sf = jnp.float32(s)
+        t1 = (sf - u0v) * inv_a
+        t2 = (sf + 1.0 - u0v) * inv_a
+        if cfg.ascending:
+            lo = jnp.ceil(t1)
+            hi = jnp.ceil(t2)
+            first, last = s == 0, s == S - 1
+        else:
+            lo = jnp.floor(t2) + 1.0
+            hi = jnp.floor(t1) + 1.0
+            first, last = s == S - 1, s == 0
+        lo = jnp.where(first, 0.0, lo) - 1.0  # +-1: FP-boundary slack; the
+        hi = jnp.where(last, icap_f, hi) + 1.0  # exact owner test masks steps
+        lo = jnp.clip(lo, 0.0, icap_f).astype(jnp.int32)
+        hi = jnp.clip(jnp.clip(hi, -_BIG, _BIG), 0.0, icap_f).astype(jnp.int32)
+        return jnp.where(hit, lo, 0), jnp.where(hit, hi, 0)
+
+    def gather_row(wref, z, r, xm0, xm1, xhi0, xhi1, fx):
+        """x-lerped window row (z, r) values at the chunk's lane indices."""
+        if WC == 128:
+            row = jnp.broadcast_to(wref[z, r, :].reshape(1, WC), (KS, 128))
+            g0 = jnp.take_along_axis(row, xm0, axis=-1)
+            g1 = jnp.take_along_axis(row, xm1, axis=-1)
+        else:
+            h0 = jnp.broadcast_to(wref[z, r, 0:128].reshape(1, 128), (KS, 128))
+            h1 = jnp.broadcast_to(wref[z, r, 128:256].reshape(1, 128), (KS, 128))
+            g0 = jnp.where(xhi0, jnp.take_along_axis(h1, xm0, axis=-1),
+                           jnp.take_along_axis(h0, xm0, axis=-1))
+            g1 = jnp.where(xhi1, jnp.take_along_axis(h1, xm1, axis=-1),
+                           jnp.take_along_axis(h0, xm1, axis=-1))
+        return g0 + fx * (g1 - g0)
+
+    def slab_body(j, carry):
+        rr, gg, bb, ww, ovf = carry
+        s = j if cfg.ascending else S - 1 - j
+
+        lo, hi = slab_ranges(s)
+        live = hit & (ww <= thr) & (lo < hi)
+        any_live = jnp.any(live)
+
+        def run(carry):
+            rr, gg, bb, ww, ovf = carry
+            lof = lo.astype(jnp.float32)
+            hif = (hi - 1).astype(jnp.float32)
+
+            # window origin from live rays' clipped corner extremes at the
+            # interval endpoints (coords are affine in the step index, so
+            # endpoint extremes bound every step in between)
+            def ext(base, step_, n_real):
+                e1 = base + step_ * lof
+                e2 = base + step_ * hif
+                lo_f = jnp.floor(jnp.minimum(e1, e2))
+                hi_f = jnp.floor(jnp.maximum(e1, e2)) + 1.0
+                lo_i = jnp.clip(
+                    jnp.clip(lo_f, -_BIG, _BIG).astype(jnp.int32), 0, n_real - 1)
+                hi_i = jnp.clip(
+                    jnp.clip(hi_f, -_BIG, _BIG).astype(jnp.int32), 0, n_real - 1)
+                mn = jnp.min(jnp.where(live, lo_i, jnp.int32(2 ** 30)))
+                mx = jnp.max(jnp.where(live, hi_i, jnp.int32(-1)))
+                return mn, mx
+
+            ymn, ymx = ext(y0v, ysv, H)
+            xmn, xmx = ext(x0v, xsv, W)
+
+            y0w = jnp.clip((ymn // 8) * 8, 0, cfg.hp - WR)
+            y0w = pl.multiple_of(y0w, 8)
+            x0w = jnp.clip((xmn // 128) * 128, 0, cfg.wp - WC)
+            x0w = pl.multiple_of(x0w, 128)
+            ovf = ovf | jnp.where(
+                (ymx - y0w >= WR) | (xmx - x0w >= WC), jnp.int32(1), jnp.int32(0))
+            n_rows = jnp.clip(ymx - y0w + 1, 1, WR)
+
+            cp_em = pltpu.make_async_copy(
+                em_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(x0w, WC)],
+                wem, sems.at[0])
+            cp_em.start()
+            if not cfg.ab_aliased:
+                cp_ab = pltpu.make_async_copy(
+                    ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(x0w, WC)],
+                    wab, sems.at[1])
+                cp_ab.start()
+                cp_ab.wait()
+            cp_em.wait()
+
+            # per-ray chunk indexing: ray r's chunk c covers its OWN steps
+            # [lo_r + c*K, lo_r + (c+1)*K) — no lockstep step counter, so a
+            # tilted tile (rays entering the slab at skewed step indices)
+            # costs ceil(own-range / K) chunks, not ceil(skewed-union / K).
+            nmax = jnp.max(jnp.where(live, hi - lo, jnp.int32(0)))
+            n_chunks = (nmax + (K - 1)) // K
+
+            lob = rep(lof)
+            hib = rep(hif) + 1.0  # back to exclusive bound, f32
+
+            def chunk_body(c, c2):
+                rr, gg, bb, ww = c2
+                kb = lob + (c * K).astype(jnp.float32) + kofs
+
+                u = u0b + avb * kb
+                zf = jnp.floor(u)
+                fz = u - zf
+                zi = jnp.clip(zf, -_BIG, _BIG).astype(jnp.int32)
+                z0 = jnp.clip(zi, 0, D - 1)
+                z1 = jnp.clip(zi + 1, 0, D - 1)
+                owner = jnp.clip(zi, 0, D - 2) == s
+                posm = hitb & owner & (kb < hib)  # kb >= lob by construction
+
+                y = y0b + ysb * kb
+                yf = jnp.floor(y)
+                fy = y - yf
+                yi = jnp.clip(yf, -_BIG, _BIG).astype(jnp.int32)
+                wy0 = jnp.clip(jnp.clip(yi, 0, H - 1) - y0w, 0, WR - 1)
+                wy1 = jnp.clip(jnp.clip(yi + 1, 0, H - 1) - y0w, 0, WR - 1)
+
+                x = x0b + xsb * kb
+                xf = jnp.floor(x)
+                fx = x - xf
+                xi = jnp.clip(xf, -_BIG, _BIG).astype(jnp.int32)
+                xl0 = jnp.clip(jnp.clip(xi, 0, W - 1) - x0w, 0, WC - 1)
+                xl1 = jnp.clip(jnp.clip(xi + 1, 0, W - 1) - x0w, 0, WC - 1)
+                if WC == 128:
+                    xm0, xm1 = xl0, xl1
+                    xhi0 = xhi1 = None
+                else:
+                    xm0 = jnp.bitwise_and(xl0, 127)
+                    xm1 = jnp.bitwise_and(xl1, 127)
+                    xhi0 = xl0 >= 128
+                    xhi1 = xl1 >= 128
+
+                # separable corner weights: value = sum over touched window
+                # rows of (x-lerped row value) * yfac * zfac. Same corner
+                # values/weights as the reference's lerp cascade (ulp-level
+                # reassociation only).
+                wz0 = z0 - s
+                wz1 = z1 - s
+                zfac = [jnp.where(wz0 == z, 1.0 - fz, 0.0)
+                        + jnp.where(wz1 == z, fz, 0.0) for z in (0, 1)]
+                fy1 = 1.0 - fy
+
+                zero = jnp.zeros((KS, 128), jnp.float32)
+
+                def row_body(r, accs):
+                    em_acc, ab_acc = accs
+                    yfac = (jnp.where(wy0 == r, fy1, 0.0)
+                            + jnp.where(wy1 == r, fy, 0.0))
+                    for z in (0, 1):
+                        w2 = yfac * zfac[z]
+                        xv = gather_row(wem, z, r, xm0, xm1, xhi0, xhi1, fx)
+                        em_acc = em_acc + xv * w2
+                        if not cfg.ab_aliased:
+                            xa = gather_row(wab, z, r, xm0, xm1, xhi0, xhi1, fx)
+                            ab_acc = ab_acc + xa * w2
+                    return (em_acc, ab_acc)
+
+                em_s, ab_s = jax.lax.fori_loop(0, n_rows, row_body, (zero, zero))
+                if cfg.ab_aliased:
+                    ab_s = em_s
+
+                # front-to-back compositing as a prefix scan over the chunk
+                alpha = 1.0 - jnp.exp(-(fab * ab_s) * tstep)
+                aq = jnp.where(posm, alpha, 0.0)
+                p_incl = scan_mul(1.0 - aq)
+                p_excl = jnp.where(subl >= 8, pltpu.roll(p_incl, 8, axis=0), 1.0)
+                w_before = 1.0 - (1.0 - rep(ww)) * p_excl
+                over = jnp.where(w_before > thr, jnp.int32(1), jnp.int32(0))
+                act = posm & (scan_or(over) == 0)
+
+                t_k = (1.0 - rep(ww)) * p_excl
+                contrib = jnp.where(act, t_k * alpha * (fem * em_s * tstep), 0.0)
+                csum = scan_add(contrib)[KS - 8:KS, :]
+
+                aq2 = jnp.where(act, alpha, 0.0)
+                p_full = scan_mul(1.0 - aq2)[KS - 8:KS, :]
+
+                rr = rr + csum * col_r
+                gg = gg + csum * col_g
+                bb = bb + csum * col_b
+                ww = 1.0 - (1.0 - ww) * p_full
+                return (rr, gg, bb, ww)
+
+            rr, gg, bb, ww = jax.lax.fori_loop(
+                0, n_chunks, chunk_body, (rr, gg, bb, ww))
+            return (rr, gg, bb, ww, ovf)
+
+        return jax.lax.cond(any_live, run, lambda c: c,
+                            (rr, gg, bb, ww, ovf))
+
+    zero = jnp.zeros((8, 128), jnp.float32)
+    rr, gg, bb, ww, ovf = jax.lax.fori_loop(
+        0, S, slab_body, (zero, zero, zero, zero, jnp.int32(0)))
+
+    out_ref[0, 0] = rr
+    out_ref[0, 1] = gg
+    out_ref[0, 2] = bb
+    out_ref[0, 3] = ww
+    ovf_ref[0, 0] = jnp.broadcast_to(ovf, (8, 128))
+
+
+# ---------------------------------------------------------------------------
+# launcher
+# ---------------------------------------------------------------------------
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+# (sweep axis -> array permutation, (sweep, row, lane) coordinate roles)
+# volume arrays are (D, H, W) == (z, y, x); coordinate components are x/y/z
+_AXIS_SETUP = {
+    "z": ((0, 1, 2), ("z", "y", "x")),
+    "y": ((1, 0, 2), ("y", "z", "x")),
+    "x": ((2, 0, 1), ("x", "z", "y")),
+}
+
+
+def _tile_image(arr_2d: jnp.ndarray) -> jnp.ndarray:
+    """(Hp, Wp) -> (n_tiles, 8, 128), TILE x TILE blocks in row-major order."""
+    hp, wp = arr_2d.shape
+    t = arr_2d.reshape(hp // TILE, TILE, wp // TILE, TILE)
+    t = t.transpose(0, 2, 1, 3).reshape(-1, TILE * TILE)
+    return t.reshape(t.shape[0], 8, 128)
+
+
+def _untile_image(tiles: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
+    """(n_tiles, 8, 128) -> (Hp, Wp)."""
+    t = tiles.reshape(hp // TILE, wp // TILE, TILE, TILE)
+    return t.transpose(0, 2, 1, 3).reshape(hp, wp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "axis", "ascending", "wr", "interpret"),
+)
+def _render_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
+                  axis: str, ascending: bool, wr: int, interpret: bool):
+    """Jitted setup + kernel launch. Returns (image, ovf_any, dir_ok)."""
+    perm, roles = _AXIS_SETUP[axis]
+
+    em = jnp.transpose(scene.emission.data, perm)
+    ab = None
+    if not scene.absorption_aliased:
+        ab = jnp.transpose(scene.absorption.data, perm)
+
+    D, H, W = em.shape
+    HP, WP = _round_up(H, 8), _round_up(W, 128)
+    WC = 256 if WP > 256 else WP
+    WR = min(wr, HP)
+    if em.shape != (D, HP, WP):
+        em = jnp.pad(em, ((0, 0), (0, HP - H), (0, WP - W)))
+        if ab is not None:
+            ab = jnp.pad(ab, ((0, 0), (0, HP - H), (0, WP - W)))
+
+    # ---- rays over the TILE-padded image ----
+    w_img, h_img = opts.width, opts.height
+    wp_img, hp_img = _round_up(w_img, TILE), _round_up(h_img, TILE)
+    py, px = jnp.mgrid[0:hp_img, 0:wp_img]
+    px = _tile_image(px.astype(jnp.int32))
+    py = _tile_image(py.astype(jnp.int32))
+    in_image = (px < w_img) & (py < h_img)
+
+    x_vec, y_vec, z_vec = scene.camera.basis()
+    focal = jnp.float32(scene.camera.focal_length)
+    dist = jnp.float32(scene.camera.distance_to_object)
+    cam_off = jnp.float32(camera_x_offset)
+
+    origin, direction = generate_rays(
+        w_img, h_img, x_vec, y_vec, z_vec, cam_off, focal, dist, px, py)
+    bm = F3(*(jnp.float32(v) for v in opts.boxmin))
+    bx = F3(*(jnp.float32(v) for v in opts.boxmax))
+    hit, tnear, tfar = intersect_box(origin, direction, bm, bx)
+    tnear = jnp.maximum(tnear, 0.0)
+    tnear = jnp.where(hit, tnear, 0.0)
+    tfar = jnp.where(hit, tfar, -1.0)
+    hit = hit & in_image
+
+    tstep = jnp.float32(opts.tstep)
+    pos0 = F3(
+        jnp.broadcast_to(origin.x, px.shape) + direction.x * tnear,
+        jnp.broadcast_to(origin.y, px.shape) + direction.y * tnear,
+        jnp.broadcast_to(origin.z, px.shape) + direction.z * tnear,
+    )
+    step = direction * tstep
+
+    # voxel-coordinate affines (coord = base + step_index * slope)
+    span = {
+        "x": (bm.x, jnp.float32(opts.boxmax[0] - opts.boxmin[0])),
+        "y": (bm.y, jnp.float32(opts.boxmax[1] - opts.boxmin[1])),
+        "z": (bm.z, jnp.float32(opts.boxmax[2] - opts.boxmin[2])),
+    }
+    n_of_role = {roles[0]: D, roles[1]: H, roles[2]: W}
+
+    def affine(comp: str):
+        n = jnp.float32(n_of_role[comp])
+        lo, ext = span[comp]
+        scale = n / ext
+        p0 = getattr(pos0, comp)
+        st = getattr(step, comp)
+        return (p0 - lo) * scale - 0.5, st * scale
+
+    u0v, av = affine(roles[0])
+    y0v, ysv = affine(roles[1])
+    x0v, xsv = affine(roles[2])
+
+    nf = jnp.floor((tfar - tnear) / tstep) + 1.0
+    icap = jnp.clip(nf, 1.0, jnp.float32(opts.n_steps)).astype(jnp.int32)
+    icap = jnp.where(hit, icap, 0)
+
+    sgn = 1.0 if ascending else -1.0
+    dir_ok = jnp.all(~hit | (av * sgn >= _A_MIN))
+
+    rayf = jnp.stack([x0v, xsv, y0v, ysv, u0v, av], axis=1)  # (n_tiles,6,8,128)
+    rayi = jnp.stack([icap, hit.astype(jnp.int32)], axis=1)
+
+    s = scene.settings
+    consts = jnp.stack([
+        tstep, s.factor_emission, s.factor_absorption,
+        s.color[0], s.color[1], s.color[2], s.opacity_threshold,
+        jnp.float32(0),
+    ])
+
+    n_tiles = rayf.shape[0]
+    cfg = _KCfg(d=D, h=H, w=W, hp=HP, wp=WP, wr=WR, wc=WC,
+                ascending=ascending, ab_aliased=scene.absorption_aliased,
+                n_steps=opts.n_steps)
+
+    if ab is None:
+        def kernel(rayf, rayi, em_r, consts_r, out_r, ovf_r, wem, wab, sems):
+            _march_kernel(cfg, rayf, rayi, em_r, None, consts_r, out_r,
+                          ovf_r, wem, wab, sems)
+    else:
+        kernel = functools.partial(_march_kernel, cfg)
+    ab_in = [] if ab is None else [ab]
+    ab_spec = [] if ab is None else [pl.BlockSpec(memory_space=pltpu.ANY)]
+    wab_scratch = (pltpu.VMEM((2, WR, WC), jnp.float32) if ab is not None
+                   else pltpu.VMEM((1, 1, 128), jnp.float32))
+
+    out, ovf = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 6, 8, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            *ab_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4, 8, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 4, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, WR, WC), jnp.float32),
+            wab_scratch,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rayf, rayi, em, *ab_in, consts)
+
+    img_r = _untile_image(out[:, 0], hp_img, wp_img)[:h_img, :w_img]
+    img_g = _untile_image(out[:, 1], hp_img, wp_img)[:h_img, :w_img]
+    img_b = _untile_image(out[:, 2], hp_img, wp_img)[:h_img, :w_img]
+    image = jnp.stack([img_r, img_g, img_b], axis=-1)
+    return image, jnp.any(ovf[:, :, 0, 0] != 0), dir_ok
+
+
+def choose_sweep_axis(scene: Scene) -> Tuple[str, bool]:
+    """Host-side principal-axis pick from the (concrete) camera basis.
+
+    The central view ray is the camera z basis vector; sweep along the
+    volume axis it is most aligned with. Returns (axis, ascending).
+    """
+    _, _, z_vec = scene.camera.basis()
+    z = np.asarray([float(z_vec.x), float(z_vec.y), float(z_vec.z)])
+    axis = ("x", "y", "z")[int(np.argmax(np.abs(z)))]
+    ascending = bool(z[("x", "y", "z").index(axis)] >= 0)
+    return axis, ascending
+
+
+def pallas_supported(scene: Scene, opts: RenderOptions) -> bool:
+    """Static-shape / feature eligibility for the Pallas fast path."""
+    if scene.has_lighting:
+        return False
+    for vol in (scene.emission, scene.absorption):
+        if vol is None:
+            continue
+        d = vol.data.shape
+        if len(d) != 3 or min(d) < 2 or vol.data.dtype != jnp.float32:
+            return False
+    if not scene.absorption_aliased:
+        if scene.absorption.data.shape != scene.emission.data.shape:
+            return False
+    return True
+
+
+def render_forward_fast(
+    scene: Scene,
+    opts: RenderOptions,
+    camera_x_offset: float = 0.0,
+    *,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fast forward render via the Pallas march, with safe fallback.
+
+    Semantics match ``ops.forward.render_forward`` (allclose). Falls back
+    to the flat path when the scene/camera is outside the kernel's
+    envelope (lighting on, degenerate ray directions, window overflow).
+    Host-driven (reads the camera concretely); not jit-compatible.
+    """
+    from volume_renderer_tpu.ops.forward import render_forward
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if not pallas_supported(scene, opts):
+        return render_forward(scene, opts, camera_x_offset)
+
+    axis, ascending = choose_sweep_axis(scene)
+    for wr in (64, 128):
+        image, ovf, dir_ok = _render_tiled(
+            scene, opts, jnp.float32(camera_x_offset), axis, ascending,
+            wr, bool(interpret))
+        if not bool(dir_ok):
+            return render_forward(scene, opts, camera_x_offset)
+        if not bool(ovf):
+            return image
+    return render_forward(scene, opts, camera_x_offset)

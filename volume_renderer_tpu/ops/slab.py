@@ -374,3 +374,233 @@ def render_forward_streamed(
 
     _, rgb, _ = state
     return _image_of(rgb, n_rows, opts.width)
+
+
+# ---- differentiable HBM-slabbed tier ----------------------------------------
+
+
+def render_fused_slabbed(
+    scene: Scene,
+    opts: RenderOptions,
+    camera_x_offset: float = 0.0,
+    *,
+    n_slabs: int,
+) -> jnp.ndarray:
+    """Differentiable z-slab-swept render (drop-in for ops.vjp.render_fused).
+
+    Forward: ``render_forward_slabbed`` (per-step volume working set = one
+    halo-padded slab per role). Backward: the same slab sweep replayed
+    with the O(1)-memory prefix-dot trick of ops/vjp.py — taps are
+    re-fetched from dynamic-sliced slabs, cotangents scatter-add into
+    full-size gradient grids (which training must hold anyway).
+    """
+    from volume_renderer_tpu.ops.vjp import split_scene
+
+    _check_divisible(scene, n_slabs)
+    diff, template = split_scene(scene)
+    return _slab_fused(diff, template, jnp.float32(camera_x_offset),
+                       opts, int(n_slabs))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _slab_fused(diff, template, cam_off, opts, n_slabs):
+    from volume_renderer_tpu.ops.vjp import merge_scene
+
+    scene = merge_scene(template, diff)
+    return render_forward_slabbed(scene, opts, cam_off, n_slabs=n_slabs)
+
+
+def _slab_fused_fwd(diff, template, cam_off, opts, n_slabs):
+    out = _slab_fused(diff, template, cam_off, opts, n_slabs)
+    return out, (diff, template, cam_off, out)
+
+
+def _slab_fused_bwd(opts, n_slabs, residuals, g):
+    from volume_renderer_tpu.ops.vjp import (
+        _scatter_add,
+        _scatter_meta,
+        merge_scene,
+    )
+
+    diff, template, cam_off, out = residuals
+    scene = merge_scene(template, diff)
+    n_rows = opts.height
+    rays = _Rays(scene, opts, cam_off, 0, n_rows)
+    consts = rays.consts
+    thr = consts.opacity_threshold
+    params = core.params_of(scene, consts)
+    lighting = scene.has_lighting
+    lookup = scene.has_gradient_volumes
+    n = n_slabs
+    owner_of = _make_owner(rays, n)
+    vols = _role_volumes(scene)
+    full_ds = {r_: v.shape[0] for r_, v in vols.items()}
+
+    def slabs_at(s):
+        slabs, offs = {}, {}
+        for role, data in vols.items():
+            start, rows = _slab_window(data.shape[0], n, s)
+            slabs[role] = jax.lax.dynamic_slice(
+                data, (start, 0, 0), (rows, data.shape[1], data.shape[2]))
+            offs[role] = start
+        return slabs, offs
+
+    r = n_rows * opts.width
+    g_flat = g.reshape(r, 3)
+    g3 = F3(g_flat[:, 0], g_flat[:, 1], g_flat[:, 2])
+    out_flat = out.reshape(r, 3)
+    total_dot = (g_flat[:, 0] * out_flat[:, 0]
+                 + g_flat[:, 1] * out_flat[:, 1]
+                 + g_flat[:, 2] * out_flat[:, 2])
+
+    vzero = jnp.sum(g_flat) * 0.0
+    acc0 = {
+        "emission": jnp.zeros(scene.emission.data.size, jnp.float32) + vzero,
+        "factor_emission": jnp.float32(0) + vzero,
+        "factor_absorption": jnp.float32(0) + vzero,
+        "factor_reflection": jnp.float32(0) + vzero,
+        "color": jnp.zeros(3, jnp.float32) + vzero,
+    }
+    if not scene.absorption_aliased:
+        acc0["absorption"] = jnp.zeros(scene.absorption.data.size, jnp.float32) + vzero
+    if not scene.reflection_aliased and lighting:
+        acc0["reflection"] = jnp.zeros(scene.reflection.data.size, jnp.float32) + vzero
+    if lighting:
+        acc0["light_colors"] = jnp.zeros_like(scene.light_colors) + vzero
+    if lookup:
+        for key in ("gradient_x", "gradient_y", "gradient_z"):
+            acc0[key] = jnp.zeros(getattr(scene, key).data.size, jnp.float32) + vzero
+
+    def replay_one_slab(samplers, s, mask, state):
+        def in_slab(n_cur, w):
+            return (rays.marchable(n_cur, w, mask, True)
+                    & (owner_of(rays.pos_at(n_cur).z) == s))
+
+        def step_body(c):
+            n_cur, w, prefix, acc = c
+            pos = rays.pos_at(n_cur)
+            active = in_slab(n_cur, w)
+            taps = core.gather_taps(scene, consts, pos, samplers)
+
+            def f(taps_, params_):
+                return core.step_from_taps(
+                    scene, consts, params_, taps_, pos, rays.origin, samplers)
+
+            (s_rgb, alpha), vjp_fn = jax.vjp(f, taps, params)
+
+            tr = 1.0 - w
+            contrib_dot = tr * (g3.x * s_rgb.x + g3.y * s_rgb.y + g3.z * s_rgb.z)
+            prefix = prefix + jnp.where(active, contrib_dot, 0.0)
+
+            d_s = F3(
+                jnp.where(active, g3.x * tr, 0.0),
+                jnp.where(active, g3.y * tr, 0.0),
+                jnp.where(active, g3.z * tr, 0.0),
+            )
+            one_m_a = 1.0 - alpha
+            safe = active & (one_m_a > 0.0)
+            d_alpha = jnp.where(
+                safe,
+                -(total_dot - prefix) / jnp.where(one_m_a > 0.0, one_m_a, 1.0),
+                0.0,
+            )
+            d_taps, d_params = vjp_fn((d_s, d_alpha))
+
+            sample_pos = core.to_sample_coords(pos, consts)
+            em_meta = _scatter_meta(scene.emission.data.shape, sample_pos)
+            acc = dict(acc)
+            acc["emission"] = _scatter_add(acc["emission"], em_meta, d_taps.em)
+            if scene.absorption_aliased:
+                acc["emission"] = _scatter_add(acc["emission"], em_meta, d_taps.ab)
+            else:
+                ab_meta = _scatter_meta(scene.absorption.data.shape, sample_pos)
+                acc["absorption"] = _scatter_add(acc["absorption"], ab_meta, d_taps.ab)
+            if lighting:
+                if scene.reflection_aliased:
+                    acc["emission"] = _scatter_add(acc["emission"], em_meta, d_taps.re)
+                else:
+                    re_meta = _scatter_meta(scene.reflection.data.shape, sample_pos)
+                    acc["reflection"] = _scatter_add(acc["reflection"], re_meta, d_taps.re)
+                if lookup:
+                    for key, dval in zip(
+                            ("gradient_x", "gradient_y", "gradient_z"),
+                            d_taps.grad_taps):
+                        meta = _scatter_meta(getattr(scene, key).data.shape, sample_pos)
+                        acc[key] = _scatter_add(acc[key], meta, dval)
+                else:
+                    for p_, dval in zip(core.otf_tap_positions(pos, consts),
+                                        d_taps.grad_taps):
+                        meta = _scatter_meta(scene.emission.data.shape, p_)
+                        acc["emission"] = _scatter_add(acc["emission"], meta, dval)
+
+            acc["factor_emission"] = acc["factor_emission"] + d_params.factor_emission
+            acc["factor_absorption"] = acc["factor_absorption"] + d_params.factor_absorption
+            acc["factor_reflection"] = acc["factor_reflection"] + d_params.factor_reflection
+            acc["color"] = acc["color"] + jnp.stack(
+                [d_params.color.x, d_params.color.y, d_params.color.z])
+            if lighting:
+                acc["light_colors"] = acc["light_colors"] + d_params.light_colors
+
+            w = jnp.where(active, w + tr * alpha, w)
+            n_cur = jnp.where(active, n_cur + 1, n_cur)
+            return (n_cur, w, prefix, acc)
+
+        return jax.lax.while_loop(
+            lambda c: jnp.any(in_slab(c[0], c[1])), step_body, state)
+
+    fwd_rays = rays.dz() >= 0
+
+    def make_sweep(mask, ascending):
+        def slab_body(carry):
+            s_iter, state = carry
+            s = s_iter if ascending else (n - 1 - s_iter)
+            slabs, offs = slabs_at(s)
+            samplers = _samplers_from_slabs(scene, slabs, offs, full_ds)
+            state = replay_one_slab(samplers, s, mask, state)
+            return (s_iter + 1, state)
+
+        def slab_cond(carry):
+            s_iter, (n_cur, w, _, _) = carry
+            return (s_iter < n) & jnp.any(rays.marchable(n_cur, w, mask, True))
+
+        def sweep(state):
+            _, state = jax.lax.while_loop(slab_cond, slab_body,
+                                          (jnp.int32(0), state))
+            return state
+
+        return sweep
+
+    zeros = jnp.zeros_like(rays.tnear)
+    state = (jnp.zeros_like(rays.tnear, dtype=jnp.int32), zeros, zeros, acc0)
+    for mask, ascending in ((fwd_rays, True), (~fwd_rays, False)):
+        state = jax.lax.cond(
+            jnp.any(rays.hit & mask), make_sweep(mask, ascending),
+            lambda st: st, state)
+
+    _, _, _, acc = state
+
+    d_diff = {
+        "emission": acc["emission"].reshape(scene.emission.data.shape),
+        "factor_emission": acc["factor_emission"],
+        "factor_absorption": acc["factor_absorption"],
+        "factor_reflection": acc["factor_reflection"],
+        "color": acc["color"],
+    }
+    if "absorption" in diff:
+        d_diff["absorption"] = acc["absorption"].reshape(scene.absorption.data.shape)
+    if "reflection" in diff:
+        if "reflection" in acc:
+            d_diff["reflection"] = acc["reflection"].reshape(scene.reflection.data.shape)
+        else:
+            d_diff["reflection"] = jnp.zeros(scene.reflection.data.shape, jnp.float32)
+    if lighting:
+        d_diff["light_colors"] = acc["light_colors"]
+    if lookup:
+        for key in ("gradient_x", "gradient_y", "gradient_z"):
+            d_diff[key] = acc[key].reshape(getattr(scene, key).data.shape)
+
+    d_template = jax.tree.map(jnp.zeros_like, template)
+    return (d_diff, d_template, jnp.zeros_like(residuals[2]))
+
+
+_slab_fused.defvjp(_slab_fused_fwd, _slab_fused_bwd)

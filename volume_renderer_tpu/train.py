@@ -194,3 +194,51 @@ def train_step_sharded(
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+def band_loss_slabbed(params, scene, opts, target, n_slabs,
+                      camera_x_offset=0.0):
+    """Full-image SSE through the differentiable z-slab sweep."""
+    from volume_renderer_tpu.ops.slab import render_fused_slabbed
+
+    merged = merge_params(params, scene)
+    img = render_fused_slabbed(merged, opts, camera_x_offset, n_slabs=n_slabs)
+    return jnp.sum((img - target) ** 2)
+
+
+@partial(jax.jit, static_argnames=("opts", "optimizer", "n_slabs"))
+def train_step_slabbed(params, opt_state, scene, opts, target, optimizer,
+                       *, n_slabs: int):
+    """Single-device training step through the z-slab sweep (bounded
+    per-step sampling working set; gradients via ops.slab custom VJP)."""
+    loss, grads = jax.value_and_grad(band_loss_slabbed)(
+        params, scene, opts, target, n_slabs)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def train_step_planned(params, opt_state, scene, opts, target, optimizer,
+                       budget_bytes=None):
+    """Memory-planned training step: the planner (api.planner.plan_render
+    with training=True) picks the flat fused path or the z-slab sweep so
+    a step fits device memory — the reference errors instead
+    (mmanager.hxx:144-173). Returns (params, opt_state, loss, plan).
+    """
+    from volume_renderer_tpu.api.planner import plan_render
+
+    merged = merge_params(params, scene)
+    plan = plan_render(merged, opts, budget_bytes=budget_bytes, training=True)
+    if plan.path == "slabbed":
+        params, opt_state, loss = train_step_slabbed(
+            params, opt_state, scene, opts, target, optimizer,
+            n_slabs=plan.n_slabs)
+    elif plan.path == "streamed":
+        raise NotImplementedError(
+            "host-streamed training is not implemented yet; shard the "
+            "volume across devices (parallel.bricks.render_fused_bricked) "
+            "or reduce the scene")
+    else:  # pallas / flat: full-grid fused step
+        params, opt_state, loss = train_step(
+            params, opt_state, scene, opts, target, optimizer)
+    return params, opt_state, loss, plan
