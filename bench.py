@@ -108,24 +108,36 @@ def main():
                         max(1, reps - 1))
         extra["big_forward_rays_s"] = round(1024 * 1024 / dt_big, 1)
 
-    # ---- fused forward+backward at the primary config ----
+    # ---- fused forward+backward (pixel -> voxel/parameter gradients) ----
+    # The Pallas backward kernel has not landed yet; until it does, the
+    # recorded fwd+bwd number is the production custom-VJP replay path
+    # (ops/vjp.render_fused) at 128^3/256^2, honestly labeled.
     if do_fwdbwd:
-        try:
-            from volume_renderer_tpu.ops.pallas_vjp import render_fused_fast
-            import jax
+        import jax
+        import jax.numpy as jnp
 
-            target = np.asarray(render_forward_fast(scene, opts))
+        from volume_renderer_tpu.ops.vjp import merge_scene, render_fused, split_scene
 
-            def loss_step():
-                import jax.numpy as jnp
-                from volume_renderer_tpu.ops import pallas_vjp
+        fb_vol, fb_img = 128, 256
+        scene_fb = _flagship_scene(vol=fb_vol, lighting=False)
+        opts_fb = scene_fb.options(fb_img, fb_img)
+        target = jnp.asarray(render_forward_fast(scene_fb, opts_fb))
+        diff, template = split_scene(scene_fb)
 
-                return pallas_vjp.emission_grad_step(scene, opts, jnp.asarray(target))
+        @jax.jit
+        def grad_step(d):
+            def loss(d_):
+                img_ = render_fused(merge_scene(template, d_), opts_fb)
+                return jnp.mean((img_ - target) ** 2)
 
-            dt_fb = _timed(loss_step, max(1, reps - 1))
-            extra["fwdbwd_rays_s"] = round(img * img / dt_fb, 1)
-        except ImportError:
-            extra["fwdbwd_rays_s"] = None
+            return jax.grad(loss)(d)
+
+        def run_fb():
+            return np.asarray(grad_step(diff)["emission"])
+
+        dt_fb = _timed(run_fb, 1)
+        extra["fwdbwd_rays_s"] = round(fb_img * fb_img / dt_fb, 1)
+        extra["fwdbwd_config"] = f"{fb_vol}^3/{fb_img}^2, replay VJP path"
 
     # ---- correctness: fast path vs the CUDA-semantics oracle ----
     if oracle_img > 0:

@@ -102,3 +102,22 @@ def test_lighting_scene_falls_back():
     ref = np.asarray(render_forward(scene, opts))
     out = np.asarray(render_forward_fast(scene, opts, interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_wide_volume_two_lane_windows():
+    """Volumes wider than 128 voxels exercise the 256-lane window path
+    (two lane groups per gather row)."""
+    rng = np.random.RandomState(3)
+    em = rng.rand(8, 8, 130).astype(np.float32) * 0.1
+    from volume_renderer_tpu.models.camera import Camera
+    from volume_renderer_tpu.models.scene import RenderSettings, Scene
+    from volume_renderer_tpu.models.volume import Volume as V
+
+    scene = Scene(
+        emission=V.create(em),
+        absorption=V.create(em * 0.7),
+        camera=Camera.create(focal_length=3.0,
+                             distance_to_object=6.0).rotate(10, 5, 0),
+        settings=RenderSettings.create(),
+    )
+    _check(scene, w=32, h=32)

@@ -176,14 +176,19 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         return jnp.where(hit, lo, 0), jnp.where(hit, hi, 0)
 
     def gather_row(wref, z, r, xm0, xm1, xhi0, xhi1, fx):
-        """x-lerped window row (z, r) values at the chunk's lane indices."""
+        """x-lerped window row (z, r) values at the chunk's lane indices.
+
+        Windows are stored as 128-lane SEGMENTS (leading static index) so
+        every row load is a full 128-lane row at a dynamic sublane — the
+        only dynamic-load shape Mosaic accepts here (a lane-slice or an
+        offset value-slice at a dynamic sublane both fail to lower).
+        """
+        h0 = jnp.broadcast_to(wref[0, z, r, :].reshape(1, 128), (KS, 128))
         if WC == 128:
-            row = jnp.broadcast_to(wref[z, r, :].reshape(1, WC), (KS, 128))
-            g0 = jnp.take_along_axis(row, xm0, axis=-1)
-            g1 = jnp.take_along_axis(row, xm1, axis=-1)
+            g0 = jnp.take_along_axis(h0, xm0, axis=-1)
+            g1 = jnp.take_along_axis(h0, xm1, axis=-1)
         else:
-            h0 = jnp.broadcast_to(wref[z, r, 0:128].reshape(1, 128), (KS, 128))
-            h1 = jnp.broadcast_to(wref[z, r, 128:256].reshape(1, 128), (KS, 128))
+            h1 = jnp.broadcast_to(wref[1, z, r, :].reshape(1, 128), (KS, 128))
             g0 = jnp.where(xhi0, jnp.take_along_axis(h1, xm0, axis=-1),
                            jnp.take_along_axis(h0, xm0, axis=-1))
             g1 = jnp.where(xhi1, jnp.take_along_axis(h1, xm1, axis=-1),
@@ -230,17 +235,21 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                 (ymx - y0w >= WR) | (xmx - x0w >= WC), jnp.int32(1), jnp.int32(0))
             n_rows = jnp.clip(ymx - y0w + 1, 1, WR)
 
-            cp_em = pltpu.make_async_copy(
-                em_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(x0w, WC)],
-                wem, sems.at[0])
-            cp_em.start()
-            if not cfg.ab_aliased:
-                cp_ab = pltpu.make_async_copy(
-                    ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(x0w, WC)],
-                    wab, sems.at[1])
-                cp_ab.start()
-                cp_ab.wait()
-            cp_em.wait()
+            nseg = WC // 128
+            copies = []
+            for seg in range(nseg):
+                xs = pl.multiple_of(x0w + seg * 128, 128)
+                copies.append(pltpu.make_async_copy(
+                    em_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(xs, 128)],
+                    wem.at[seg], sems.at[seg]))
+                if not cfg.ab_aliased:
+                    copies.append(pltpu.make_async_copy(
+                        ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(xs, 128)],
+                        wab.at[seg], sems.at[2 + seg]))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
 
             # per-ray chunk indexing: ray r's chunk c covers its OWN steps
             # [lo_r + c*K, lo_r + (c+1)*K) — no lockstep step counter, so a
@@ -492,8 +501,9 @@ def _render_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
         kernel = functools.partial(_march_kernel, cfg)
     ab_in = [] if ab is None else [ab]
     ab_spec = [] if ab is None else [pl.BlockSpec(memory_space=pltpu.ANY)]
-    wab_scratch = (pltpu.VMEM((2, WR, WC), jnp.float32) if ab is not None
-                   else pltpu.VMEM((1, 1, 128), jnp.float32))
+    nseg = WC // 128
+    wab_scratch = (pltpu.VMEM((nseg, 2, WR, 128), jnp.float32) if ab is not None
+                   else pltpu.VMEM((1, 1, 1, 128), jnp.float32))
 
     out, ovf = pl.pallas_call(
         kernel,
@@ -518,9 +528,9 @@ def _render_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
             jax.ShapeDtypeStruct((n_tiles, 1, 8, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, WR, WC), jnp.float32),
+            pltpu.VMEM((nseg, 2, WR, 128), jnp.float32),
             wab_scratch,
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(rayf, rayi, em, *ab_in, consts)
