@@ -92,3 +92,55 @@ def test_train_step_planned_routes_slabbed():
         losses.append(float(loss))
     assert plan.path == "slabbed", plan
     assert losses[-1] < losses[0]
+
+
+def test_streamed_grads_match_flat():
+    """Host-resident grids, slab-streamed backward: gradients match the
+    flat fused path (emission + absorption + transfer parameters)."""
+    from volume_renderer_tpu.ops.slab import streamed_grads
+
+    scene, _ = make_scene(vol_shape=(16, 12, 10))
+    opts = scene.options(W, H)
+    target = np.asarray(render_forward(scene, opts)) * 0.8 + 0.001
+
+    # flat reference gradients of L = mean((img - target)^2)
+    g_flat = _grads(lambda s: render_fused(s, opts), scene,
+                    jnp.asarray(target))
+
+    # streamed: compute the pixel cotangent of the same loss by hand
+    img = np.asarray(render_forward(scene, opts))
+    gpix = 2.0 * (img - target) / img.size
+    grads, out = streamed_grads(scene, opts, gpix, n_slabs=4)
+    np.testing.assert_allclose(out, img, rtol=5e-4, atol=1e-6)
+
+    for key in ("emission", "absorption", "factor_emission",
+                "factor_absorption", "color"):
+        np.testing.assert_allclose(
+            np.asarray(grads[key]), np.asarray(g_flat[key]),
+            rtol=2e-3, atol=2e-6, err_msg=f"gradient mismatch for {key}")
+
+
+def test_streamed_training_smoke():
+    """Two hand-rolled gradient-descent steps on host grids reduce the loss
+    (the streamed-tier training flow end to end)."""
+    from volume_renderer_tpu.ops.slab import streamed_grads
+
+    scene, _ = make_scene(vol_shape=(16, 12, 10))
+    opts = scene.options(W, H)
+    target = np.asarray(render_forward(scene, opts))
+
+    em = np.asarray(scene.emission.data) * 1.3 + 0.05
+    ab = np.asarray(scene.absorption.data) * 1.2 + 0.02
+    losses = []
+    lr = 5.0
+    for _ in range(3):
+        s = scene.replace(
+            emission=scene.emission.replace(data=em),
+            absorption=scene.absorption.replace(data=ab))
+        img = np.asarray(render_forward(s, opts))
+        losses.append(float(np.mean((img - target) ** 2)))
+        gpix = 2.0 * (img - target) / img.size
+        grads, _ = streamed_grads(s, opts, gpix, n_slabs=4)
+        em = em - lr * grads["emission"]
+        ab = ab - lr * grads["absorption"]
+    assert losses[-1] < losses[0], losses

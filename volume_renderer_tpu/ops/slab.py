@@ -604,3 +604,245 @@ def _slab_fused_bwd(opts, n_slabs, residuals, g):
 
 
 _slab_fused.defvjp(_slab_fused_fwd, _slab_fused_bwd)
+
+
+# ---- streamed-tier training: host grids, slab-streamed backward -------------
+
+
+@partial(jax.jit, static_argnames=("opts", "n_slabs", "n_rows", "ascending",
+                                   "roles"))
+def _streamed_bwd_slab_step(
+    scene: Scene,  # slim scene (placeholder grids)
+    opts: RenderOptions,
+    camera_x_offset,
+    slab_arrays,
+    z_offsets,
+    full_ds_arr,
+    s,
+    state,  # (n_cur, w, prefix)
+    g3_parts,  # (gx, gy, gz) flat per-ray cotangents
+    total_dot,
+    *,
+    n_slabs: int,
+    n_rows: int,
+    ascending: bool,
+    roles: tuple,
+):
+    """Backward-replay one streamed slab: returns (state', slab grads dict,
+    param grads dict, any_marchable_after)."""
+    from volume_renderer_tpu.parallel.bricks import _scatter_meta_zslab
+
+    rays = _Rays(scene, opts, camera_x_offset, 0, n_rows)
+    consts = rays.consts
+    owner_of = _make_owner(rays, n_slabs)
+    mask = (rays.dz() >= 0) if ascending else (rays.dz() < 0)
+    slabs = dict(zip(roles, slab_arrays))
+    offs = dict(zip(roles, z_offsets))
+    fds = dict(zip(roles, full_ds_arr))
+    samplers = _samplers_from_slabs(scene, slabs, offs, fds)
+    params = core.params_of(scene, consts)
+    g3 = F3(*g3_parts)
+
+    # slab-shaped gradient accumulators for the sampled roles
+    acc_slabs = {r_: jnp.zeros(slabs[r_].size, jnp.float32) for r_ in roles}
+    acc_par = {
+        "factor_emission": jnp.float32(0),
+        "factor_absorption": jnp.float32(0),
+        "factor_reflection": jnp.float32(0),
+        "color": jnp.zeros(3, jnp.float32),
+    }
+    if scene.has_lighting:
+        acc_par["light_colors"] = jnp.zeros_like(scene.light_colors)
+
+    geom = {
+        r_: ((slabs[r_].shape), offs[r_], fds[r_]) for r_ in roles
+    }
+
+    def in_slab(n_cur, w):
+        return (rays.marchable(n_cur, w, mask, True)
+                & (owner_of(rays.pos_at(n_cur).z) == s))
+
+    def step_body(c):
+        n_cur, w, prefix, acc_s, acc_p = c
+        pos = rays.pos_at(n_cur)
+        active = in_slab(n_cur, w)
+        taps = core.gather_taps(scene, consts, pos, samplers)
+
+        def f(taps_, params_):
+            return core.step_from_taps(
+                scene, consts, params_, taps_, pos, rays.origin, samplers)
+
+        (s_rgb, alpha), vjp_fn = jax.vjp(f, taps, params)
+
+        tr = 1.0 - w
+        contrib_dot = tr * (g3.x * s_rgb.x + g3.y * s_rgb.y + g3.z * s_rgb.z)
+        prefix = prefix + jnp.where(active, contrib_dot, 0.0)
+
+        d_s = F3(
+            jnp.where(active, g3.x * tr, 0.0),
+            jnp.where(active, g3.y * tr, 0.0),
+            jnp.where(active, g3.z * tr, 0.0),
+        )
+        one_m_a = 1.0 - alpha
+        safe = active & (one_m_a > 0.0)
+        d_alpha = jnp.where(
+            safe,
+            -(total_dot - prefix) / jnp.where(one_m_a > 0.0, one_m_a, 1.0),
+            0.0,
+        )
+        d_taps, d_params = vjp_fn((d_s, d_alpha))
+
+        sample_pos = core.to_sample_coords(pos, consts)
+
+        def scat(role, dval, at=None):
+            shape, off, fd = geom[role]
+            meta = _scatter_meta_zslab(shape, off, fd, at if at is not None
+                                       else sample_pos)
+            idx, wgt = meta
+            return acc_s[role].at[idx.reshape(-1)].add(
+                (wgt * dval[..., None]).reshape(-1))
+
+        acc_s = dict(acc_s)
+        acc_s["em"] = scat("em", d_taps.em)
+        if "ab" in roles:
+            acc_s["ab"] = scat("ab", d_taps.ab)
+        else:
+            acc_s["em"] = scat("em", d_taps.ab)
+        if scene.has_lighting:
+            if "re" in roles:
+                acc_s["re"] = scat("re", d_taps.re)
+            else:
+                acc_s["em"] = scat("em", d_taps.re)
+            if scene.has_gradient_volumes:
+                for role, dval in zip(("gx", "gy", "gz"), d_taps.grad_taps):
+                    acc_s[role] = scat(role, dval)
+            else:
+                for p_, dval in zip(core.otf_tap_positions(pos, consts),
+                                    d_taps.grad_taps):
+                    acc_s["em"] = scat("em", dval, at=p_)
+
+        acc_p = dict(acc_p)
+        acc_p["factor_emission"] = acc_p["factor_emission"] + d_params.factor_emission
+        acc_p["factor_absorption"] = (acc_p["factor_absorption"]
+                                      + d_params.factor_absorption)
+        acc_p["factor_reflection"] = (acc_p["factor_reflection"]
+                                      + d_params.factor_reflection)
+        acc_p["color"] = acc_p["color"] + jnp.stack(
+            [d_params.color.x, d_params.color.y, d_params.color.z])
+        if scene.has_lighting:
+            acc_p["light_colors"] = acc_p["light_colors"] + d_params.light_colors
+
+        w = jnp.where(active, w + tr * alpha, w)
+        n_cur = jnp.where(active, n_cur + 1, n_cur)
+        return (n_cur, w, prefix, acc_s, acc_p)
+
+    n_cur0, w0, prefix0 = state
+    n_cur, w, prefix, acc_slabs, acc_par = jax.lax.while_loop(
+        lambda c: jnp.any(in_slab(c[0], c[1])), step_body,
+        (n_cur0, w0, prefix0, acc_slabs, acc_par))
+
+    more = jnp.any(rays.marchable(n_cur, w, mask, True))
+    slab_grads = {r_: acc_slabs[r_].reshape(slabs[r_].shape) for r_ in roles}
+    return (n_cur, w, prefix), slab_grads, acc_par, more
+
+
+def streamed_grads(
+    scene: Scene,
+    opts: RenderOptions,
+    g: "np.ndarray",
+    *,
+    n_slabs: int,
+    camera_x_offset: float = 0.0,
+):
+    """Pixel-cotangent backward with HOST-resident voxel grids.
+
+    ``scene``'s volume data may be numpy arrays larger than device
+    memory; only one halo-padded slab (plus its slab-sized gradient) is
+    device-resident at a time. Returns a dict of HOST (numpy) gradients
+    for the sampled grids (keys: emission/absorption/... as in
+    ops.vjp.split_scene) and the transfer parameters.
+    """
+    _check_divisible(scene, n_slabs)
+    n_rows = opts.height
+
+    host_vols = {r_: np.asarray(v) for r_, v in _role_volumes(scene).items()}
+    roles = tuple(sorted(host_vols.keys()))
+    full_ds = tuple(int(host_vols[r_].shape[0]) for r_ in roles)
+
+    # the forward image is needed for total_dot: streamed forward pass
+    out = np.asarray(render_forward_streamed(
+        scene, opts, camera_x_offset, n_slabs=n_slabs))
+
+    ph = jnp.zeros((1, 1, 1), jnp.float32)
+
+    def ph_vol(v):
+        return None if v is None else v.replace(data=ph)
+
+    slim = scene.replace(
+        emission=scene.emission.replace(data=ph),
+        absorption=ph_vol(scene.absorption),
+        reflection=ph_vol(scene.reflection),
+        gradient_x=ph_vol(scene.gradient_x),
+        gradient_y=ph_vol(scene.gradient_y),
+        gradient_z=ph_vol(scene.gradient_z),
+    )
+
+    r = n_rows * opts.width
+    g_flat = np.asarray(g, np.float32).reshape(r, 3)
+    out_flat = out.reshape(r, 3)
+    total_dot = jnp.asarray((g_flat * out_flat).sum(axis=1))
+    g3_parts = tuple(jnp.asarray(g_flat[:, i]) for i in range(3))
+
+    host_grads = {r_: np.zeros_like(host_vols[r_]) for r_ in roles}
+    par_grads = None
+
+    state, any_fwd, any_bwd = _streamed_setup(slim, opts, camera_x_offset, n_rows)
+    n_cur, _, w = state
+    state = (n_cur, w, jnp.zeros_like(w))  # (n_cur, w, prefix)
+
+    def host_slab(role, s):
+        data = host_vols[role]
+        d = data.shape[0]
+        bd = d // n_slabs
+        rows = bd + 2 * HALO
+        start = int(np.clip(s * bd - HALO, 0, d - rows))
+        return data[start:start + rows], start
+
+    for ascending, anyrays in ((True, bool(any_fwd)), (False, bool(any_bwd))):
+        if not anyrays:
+            continue
+        order = range(n_slabs) if ascending else range(n_slabs - 1, -1, -1)
+        for s in order:
+            slabs, offs = zip(*(host_slab(r_, s) for r_ in roles))
+            state, slab_grads, acc_par, more = _streamed_bwd_slab_step(
+                slim, opts, jnp.float32(camera_x_offset),
+                tuple(jnp.asarray(x) for x in slabs),
+                tuple(jnp.int32(o) for o in offs),
+                tuple(jnp.int32(d) for d in full_ds),
+                jnp.int32(s), state, g3_parts, total_dot,
+                n_slabs=n_slabs, n_rows=n_rows, ascending=ascending,
+                roles=roles,
+            )
+            for role in roles:
+                start = offs[roles.index(role)]
+                gslab = np.asarray(slab_grads[role])
+                host_grads[role][start:start + gslab.shape[0]] += gslab
+            if par_grads is None:
+                par_grads = {k: np.asarray(v) for k, v in acc_par.items()}
+            else:
+                for k in par_grads:
+                    par_grads[k] = par_grads[k] + np.asarray(acc_par[k])
+            if not bool(more):
+                break
+
+    if par_grads is None:
+        par_grads = {k: np.zeros_like(np.asarray(v)) for k, v in {
+            "factor_emission": 0.0, "factor_absorption": 0.0,
+            "factor_reflection": 0.0, "color": np.zeros(3, np.float32),
+        }.items()}
+
+    name_of = {"em": "emission", "ab": "absorption", "re": "reflection",
+               "gx": "gradient_x", "gy": "gradient_y", "gz": "gradient_z"}
+    grads = {name_of[r_]: host_grads[r_] for r_ in roles}
+    grads.update(par_grads)
+    return grads, out
