@@ -17,7 +17,6 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from tests.helpers import make_scene  # noqa: E402
 from volume_renderer_tpu.api.renderer import StereoRenderMode, VolumeRenderer  # noqa: E402
 from volume_renderer_tpu.models.lights import LightSource  # noqa: E402
 from volume_renderer_tpu.models.volume import Volume  # noqa: E402

@@ -15,7 +15,7 @@ repeated renders of unchanged volumes never re-upload.
 from __future__ import annotations
 
 import enum
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

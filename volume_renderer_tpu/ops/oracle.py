@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from volume_renderer_tpu.models.scene import RenderOptions, Scene
 from volume_renderer_tpu.ops import raymarch_core as core
-from volume_renderer_tpu.ops.float3 import F3, f3
+from volume_renderer_tpu.ops.float3 import F3
 from volume_renderer_tpu.ops.geometry import generate_rays, intersect_box
 
 

@@ -38,7 +38,6 @@ import jax
 import jax.numpy as jnp
 
 from volume_renderer_tpu.models.scene import RenderOptions, Scene
-from volume_renderer_tpu.models.volume import Volume
 from volume_renderer_tpu.ops import raymarch_core as core
 from volume_renderer_tpu.ops.float3 import F3
 from volume_renderer_tpu.ops.forward import _init_rays, render_rows

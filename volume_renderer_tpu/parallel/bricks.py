@@ -54,8 +54,6 @@ w += (1-w)*alpha algebraically, with the same ulp-level caveat.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -12,9 +12,8 @@ across devices — the all-reduce rides ICI inside ``shard_map``.
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
