@@ -121,3 +121,19 @@ def test_wide_volume_two_lane_windows():
         settings=RenderSettings.create(),
     )
     _check(scene, w=32, h=32)
+
+
+def test_extreme_fov_falls_back_correctly():
+    """A wide-angle camera (small focal length) violates the kernel's
+    monotone-sweep precondition; render_forward_fast must detect it on
+    device and fall back to the flat path with identical output."""
+    from volume_renderer_tpu.models.camera import Camera
+
+    scene = _scene(vol=12)
+    wide = Camera.create(focal_length=0.35,
+                         distance_to_object=1.2).rotate(45, 35, 10)
+    scene = scene.replace(camera=wide)
+    opts = scene.options(32, 32)
+    ref = np.asarray(render_forward(scene, opts))
+    out = np.asarray(render_forward_fast(scene, opts, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
