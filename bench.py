@@ -13,7 +13,9 @@ since the reference repo publishes no numbers (BASELINE.md).
 "extra" carries the secondary recordings VERDICT r2 asked for:
   r02_config_rays_s      forward at 128^3/256^2 (direct r02 comparison)
   big_forward_rays_s     forward at 512^3/1024^2 (north-star config)
-  fwdbwd_rays_s          fused forward+backward at the primary config
+  transfer_fwdbwd_rays_s fwd + transfer-parameter backward (Pallas) at
+                         the primary config
+  fwdbwd_rays_s          fused forward+backward incl. voxel gradients
   oracle_allclose        fast path allclose vs the CUDA-semantics oracle
 
 Env knobs:
@@ -107,6 +109,20 @@ def main():
         dt_big = _timed(lambda: render_forward_fast(scene_big, opts_big),
                         max(1, reps - 1))
         extra["big_forward_rays_s"] = round(1024 * 1024 / dt_big, 1)
+
+    # ---- fwd + transfer-parameter backward (Pallas, no voxel grads) ----
+    if do_fwdbwd:
+        from volume_renderer_tpu.ops.pallas_march import transfer_grads_fast
+
+        target = np.asarray(render_forward_fast(scene, opts))
+        gcot = (2.0 * (target * 1.1 - target) / target.size).astype(np.float32)
+
+        def run_tg():
+            _, grads = transfer_grads_fast(scene, opts, gcot)
+            return np.asarray(grads["factor_emission"])
+
+        dt_tg = _timed(run_tg, max(1, reps - 1))
+        extra["transfer_fwdbwd_rays_s"] = round(img * img / dt_tg, 1)
 
     # ---- fused forward+backward (pixel -> voxel/parameter gradients) ----
     # The Pallas backward kernel has not landed yet; until it does, the

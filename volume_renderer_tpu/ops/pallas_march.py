@@ -74,6 +74,8 @@ class _KCfg(NamedTuple):
     ascending: bool
     ab_aliased: bool
     n_steps: int
+    grad_mode: bool = False  # replay: also accumulate per-ray pieces of
+    # the transfer-parameter gradients (see transfer_grads_fast)
 
 
 # ---------------------------------------------------------------------------
@@ -86,7 +88,7 @@ _K = 8  # march steps per chunk: samples are batched (K*8, 128) so every
 
 
 def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
-                  out_ref, ovf_ref, wem, wab, sems):
+                  gt_ref, out_ref, ovf_ref, wem, wab, sems):
     """One image tile: sweep all slice pairs, composite, write (4,8,128).
 
     Inner structure: per slice pair, the tile's owned march steps are
@@ -109,6 +111,11 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
     av = rayf_ref[0, 5]
     icap = rayi_ref[0, 0]
     hit = rayi_ref[0, 1] != 0
+    if cfg.grad_mode:
+        gcolb = jnp.broadcast_to(gt_ref[0, 0].reshape(1, 8, 128),
+                                 (_K, 8, 128)).reshape(_K * 8, 128)
+        totb = jnp.broadcast_to(gt_ref[0, 1].reshape(1, 8, 128),
+                                (_K, 8, 128)).reshape(_K * 8, 128)
 
     tstep = consts_ref[0]
     fem = consts_ref[1]
@@ -196,7 +203,10 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         return g0 + fx * (g1 - g0)
 
     def slab_body(j, carry):
-        rr, gg, bb, ww, ovf = carry
+        if cfg.grad_mode:
+            rr, gg, bb, ww, pref, eac, fac, ovf = carry
+        else:
+            rr, gg, bb, ww, ovf = carry
         s = j if cfg.ascending else S - 1 - j
 
         lo, hi = slab_ranges(s)
@@ -204,7 +214,10 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         any_live = jnp.any(live)
 
         def run(carry):
-            rr, gg, bb, ww, ovf = carry
+            if cfg.grad_mode:
+                rr, gg, bb, ww, pref, eac, fac, ovf = carry
+            else:
+                rr, gg, bb, ww, ovf = carry
             lof = lo.astype(jnp.float32)
             hif = (hi - 1).astype(jnp.float32)
 
@@ -262,7 +275,10 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
             hib = rep(hif) + 1.0  # back to exclusive bound, f32
 
             def chunk_body(c, c2):
-                rr, gg, bb, ww = c2
+                if cfg.grad_mode:
+                    rr, gg, bb, ww, pref, eac, fac = c2
+                else:
+                    rr, gg, bb, ww = c2
                 kb = lob + (c * K).astype(jnp.float32) + kofs
 
                 u = u0b + avb * kb
@@ -344,20 +360,53 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                 rr = rr + csum * col_r
                 gg = gg + csum * col_g
                 bb = bb + csum * col_b
-                ww = 1.0 - (1.0 - ww) * p_full
-                return (rr, gg, bb, ww)
+                new_ww = 1.0 - (1.0 - ww) * p_full
+                if not cfg.grad_mode:
+                    return (rr, gg, bb, new_ww)
 
+                # transfer-parameter gradient pieces (per-ray reductions;
+                # formulas in docs/pallas_backward_design.md):
+                #   prefix_k (incl) = sum_{j<=k} T_j (g . s_j)
+                #   E   = sum T alpha em           -> d_fem, d_color
+                #   Fab = sum ab dt [gcol em' T (1-alpha) - (tot - prefix_k)]
+                em_term = fem * em_s * tstep
+                contrib_g = jnp.where(act, t_k * alpha * em_term * gcolb, 0.0)
+                pref_incl = rep(pref) + scan_add(contrib_g)
+                e_chunk = scan_add(
+                    jnp.where(act, t_k * alpha * em_s, 0.0))[KS - 8:KS, :]
+                fab_term = jnp.where(
+                    act,
+                    ab_s * tstep * (gcolb * em_term * t_k * (1.0 - alpha)
+                                    - (totb - pref_incl)),
+                    0.0)
+                f_chunk = scan_add(fab_term)[KS - 8:KS, :]
+                pref = pref + scan_add(contrib_g)[KS - 8:KS, :]
+                return (rr, gg, bb, new_ww, pref, eac + e_chunk,
+                        fac + f_chunk)
+
+            if cfg.grad_mode:
+                rr, gg, bb, ww, pref, eac, fac = jax.lax.fori_loop(
+                    0, n_chunks, chunk_body,
+                    (rr, gg, bb, ww, pref, eac, fac))
+                return (rr, gg, bb, ww, pref, eac, fac, ovf)
             rr, gg, bb, ww = jax.lax.fori_loop(
                 0, n_chunks, chunk_body, (rr, gg, bb, ww))
             return (rr, gg, bb, ww, ovf)
 
-        return jax.lax.cond(any_live, run, lambda c: c,
-                            (rr, gg, bb, ww, ovf))
+        carry = ((rr, gg, bb, ww, pref, eac, fac, ovf) if cfg.grad_mode
+                 else (rr, gg, bb, ww, ovf))
+        return jax.lax.cond(any_live, run, lambda c: c, carry)
 
     zero = jnp.zeros((8, 128), jnp.float32)
-    rr, gg, bb, ww, ovf = jax.lax.fori_loop(
-        0, S, slab_body, (zero, zero, zero, zero, jnp.int32(0)))
-
+    if cfg.grad_mode:
+        rr, gg, bb, ww, pref, eac, fac, ovf = jax.lax.fori_loop(
+            0, S, slab_body,
+            (zero, zero, zero, zero, zero, zero, zero, jnp.int32(0)))
+        out_ref[0, 4] = eac
+        out_ref[0, 5] = fac
+    else:
+        rr, gg, bb, ww, ovf = jax.lax.fori_loop(
+            0, S, slab_body, (zero, zero, zero, zero, jnp.int32(0)))
     out_ref[0, 0] = rr
     out_ref[0, 1] = gg
     out_ref[0, 2] = bb
@@ -397,13 +446,15 @@ def _untile_image(tiles: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
     return t.transpose(0, 2, 1, 3).reshape(hp, wp)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("opts", "axis", "ascending", "wr", "interpret"),
-)
-def _render_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
-                  axis: str, ascending: bool, wr: int, interpret: bool):
-    """Jitted setup + kernel launch. Returns (image, ovf_any, dir_ok)."""
+def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
+            axis: str, ascending: bool, wr: int, interpret: bool,
+            grad_inputs=None):
+    """Shared setup + kernel launch (forward or grad-replay mode).
+
+    grad_inputs=None: forward; returns (image, ovf_any, dir_ok).
+    grad_inputs=(g_img, out_img): replay with transfer-parameter gradient
+    accumulation; returns (d_fem, d_fab, d_color, ovf_any, dir_ok).
+    """
     perm, roles = _AXIS_SETUP[axis]
 
     em = jnp.transpose(scene.emission.data, perm)
@@ -489,21 +540,43 @@ def _render_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
     ])
 
     n_tiles = rayf.shape[0]
+    grad_mode = grad_inputs is not None
     cfg = _KCfg(d=D, h=H, w=W, hp=HP, wp=WP, wr=WR, wc=WC,
                 ascending=ascending, ab_aliased=scene.absorption_aliased,
-                n_steps=opts.n_steps)
+                n_steps=opts.n_steps, grad_mode=grad_mode)
+
+    if grad_mode:
+        g_img, out_img = grad_inputs
+        colv = scene.settings.color
+
+        def pad_tile(a2d):
+            a = jnp.zeros((hp_img, wp_img), jnp.float32)
+            a = a.at[:h_img, :w_img].set(a2d)
+            return _tile_image(a)
+
+        gcol_t = pad_tile(g_img[..., 0] * colv[0] + g_img[..., 1] * colv[1]
+                          + g_img[..., 2] * colv[2])
+        tot_t = pad_tile(jnp.sum(g_img * out_img, axis=-1))
+        gt = jnp.stack([gcol_t, tot_t], axis=1)  # (n_tiles, 2, 8, 128)
+    else:
+        gt = jnp.zeros((n_tiles, 2, 8, 128), jnp.float32)
 
     if ab is None:
-        def kernel(rayf, rayi, em_r, consts_r, out_r, ovf_r, wem, wab, sems):
-            _march_kernel(cfg, rayf, rayi, em_r, None, consts_r, out_r,
-                          ovf_r, wem, wab, sems)
+        def kernel(rayf, rayi, em_r, consts_r, gt_r, out_r, ovf_r,
+                   wem, wab, sems):
+            _march_kernel(cfg, rayf, rayi, em_r, None, consts_r, gt_r,
+                          out_r, ovf_r, wem, wab, sems)
     else:
-        kernel = functools.partial(_march_kernel, cfg)
+        def kernel(rayf, rayi, em_r, ab_r, consts_r, gt_r, out_r, ovf_r,
+                   wem, wab, sems):
+            _march_kernel(cfg, rayf, rayi, em_r, ab_r, consts_r, gt_r,
+                          out_r, ovf_r, wem, wab, sems)
     ab_in = [] if ab is None else [ab]
     ab_spec = [] if ab is None else [pl.BlockSpec(memory_space=pltpu.ANY)]
     nseg = WC // 128
     wab_scratch = (pltpu.VMEM((nseg, 2, WR, 128), jnp.float32) if ab is not None
                    else pltpu.VMEM((1, 1, 1, 128), jnp.float32))
+    n_out_ch = 6 if grad_mode else 4
 
     out, ovf = pl.pallas_call(
         kernel,
@@ -516,15 +589,17 @@ def _render_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
             pl.BlockSpec(memory_space=pltpu.ANY),
             *ab_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 4, 8, 128), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, n_out_ch, 8, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 4, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_out_ch, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, 8, 128), jnp.int32),
         ],
         scratch_shapes=[
@@ -533,13 +608,47 @@ def _render_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(rayf, rayi, em, *ab_in, consts)
+    )(rayf, rayi, em, *ab_in, consts, gt)
+
+    ovf_any = jnp.any(ovf[:, :, 0, 0] != 0)
+    if grad_mode:
+        ts = jnp.float32(opts.tstep)
+        e_img = _untile_image(out[:, 4], hp_img, wp_img)[:h_img, :w_img]
+        f_img = _untile_image(out[:, 5], hp_img, wp_img)[:h_img, :w_img]
+        gcol_img = (g_img[..., 0] * colv[0] + g_img[..., 1] * colv[1]
+                    + g_img[..., 2] * colv[2])
+        d_fem = ts * jnp.sum(gcol_img * e_img)
+        d_fab = jnp.sum(f_img)
+        d_color = (scene.settings.factor_emission * ts
+                   * jnp.sum(g_img * e_img[..., None], axis=(0, 1)))
+        return d_fem, d_fab, d_color, ovf_any, dir_ok
 
     img_r = _untile_image(out[:, 0], hp_img, wp_img)[:h_img, :w_img]
     img_g = _untile_image(out[:, 1], hp_img, wp_img)[:h_img, :w_img]
     img_b = _untile_image(out[:, 2], hp_img, wp_img)[:h_img, :w_img]
     image = jnp.stack([img_r, img_g, img_b], axis=-1)
-    return image, jnp.any(ovf[:, :, 0, 0] != 0), dir_ok
+    return image, ovf_any, dir_ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "axis", "ascending", "wr", "interpret"),
+)
+def _render_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
+                  axis: str, ascending: bool, wr: int, interpret: bool):
+    return _launch(scene, opts, camera_x_offset, axis, ascending, wr,
+                   interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "axis", "ascending", "wr", "interpret"),
+)
+def _replay_grads_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
+                        axis: str, ascending: bool, wr: int, interpret: bool,
+                        g_img, out_img):
+    return _launch(scene, opts, camera_x_offset, axis, ascending, wr,
+                   interpret, grad_inputs=(g_img, out_img))
 
 
 def choose_sweep_axis(scene: Scene) -> Tuple[str, bool]:
@@ -603,3 +712,70 @@ def render_forward_fast(
         if not bool(ovf):
             return image
     return render_forward(scene, opts, camera_x_offset)
+
+
+def transfer_grads_fast(
+    scene: Scene,
+    opts: RenderOptions,
+    g: jnp.ndarray,
+    camera_x_offset: float = 0.0,
+    *,
+    interpret: Optional[bool] = None,
+):
+    """Transfer-parameter gradients at forward-kernel speed.
+
+    Given the pixel cotangent ``g`` (H, W, 3), returns
+    ``(image, {"factor_emission", "factor_absorption", "color"})`` where
+    the gradients are exact (same formulas as the custom-VJP replay,
+    docs/pallas_backward_design.md) but computed by a second Pallas sweep
+    — per-ray reductions only, no scatter — so a transfer-function fit
+    (the reference's paper_scale_permutations workload) runs ~100x faster
+    than the full-replay path. Voxel-grid gradients are NOT produced;
+    use ops.vjp.render_fused (or the slab/brick variants) for those.
+
+    Falls back to the replay path off the kernel's envelope.
+    """
+    import jax as _jax
+
+    from volume_renderer_tpu.ops.vjp import merge_scene, render_fused, split_scene
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def fallback():
+        diff, template = split_scene(scene)
+
+        def forward(d):
+            return render_fused(merge_scene(template, d), opts, camera_x_offset)
+
+        image, vjp_fn = _jax.vjp(forward, diff)
+        d = vjp_fn(jnp.asarray(g, jnp.float32))[0]
+        return image, {
+            "factor_emission": d["factor_emission"],
+            "factor_absorption": d["factor_absorption"],
+            "color": d["color"],
+        }
+
+    if not pallas_supported(scene, opts):
+        return fallback()
+
+    axis, ascending = choose_sweep_axis(scene)
+    for wr in (64, 128):
+        image, ovf, dir_ok = _render_tiled(
+            scene, opts, jnp.float32(camera_x_offset), axis, ascending,
+            wr, bool(interpret))
+        if not bool(dir_ok):
+            return fallback()
+        if bool(ovf):
+            continue
+        d_fem, d_fab, d_color, ovf2, _ = _replay_grads_tiled(
+            scene, opts, jnp.float32(camera_x_offset), axis, ascending,
+            wr, bool(interpret), jnp.asarray(g, jnp.float32), image)
+        if bool(ovf2):
+            continue
+        return image, {
+            "factor_emission": d_fem,
+            "factor_absorption": d_fab,
+            "color": d_color,
+        }
+    return fallback()
