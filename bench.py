@@ -159,30 +159,39 @@ def main():
             _log(f"{name}: ERROR {e}")
 
     # ---- fused forward+backward (pixel -> voxel/parameter gradients) ----
-    def run_fwdbwd():
-        import jax
+    # Production path: the Pallas forward + in-kernel MXU one-hot scatter
+    # backward (ops/pallas_march.voxel_grads_fast) — the round-3 replay
+    # VJP ran this at ~2.2k rays/s; the kernel runs it ~30x faster.
+    def _fwdbwd_at(fb_vol, fb_img, reps_):
         import jax.numpy as jnp
 
-        from volume_renderer_tpu.ops.vjp import (
-            merge_scene, render_fused, split_scene)
+        from volume_renderer_tpu.ops.pallas_march import voxel_grads_fast
 
-        fb_vol, fb_img = 128, 256
         scene_fb = _flagship_scene(vol=fb_vol, lighting=False)
         opts_fb = scene_fb.options(fb_img, fb_img)
-        target = jnp.asarray(render_forward_fast(scene_fb, opts_fb))
-        diff, template = split_scene(scene_fb)
+        target = np.asarray(render_forward_fast(scene_fb, opts_fb)) * 1.1
 
-        @jax.jit
-        def grad_step(d):
-            def loss(d_):
-                img_ = render_fused(merge_scene(template, d_), opts_fb)
-                return jnp.mean((img_ - target) ** 2)
+        def step():
+            im = render_forward_fast(scene_fb, opts_fb)
+            gcot = 2.0 * (im - jnp.asarray(target))
+            _, grads = voxel_grads_fast(scene_fb, opts_fb, gcot, image=im)
+            return np.asarray(grads["emission"])
 
-            return jax.grad(loss)(d)
+        dt_fb = _timed(step, reps_)
+        return round(fb_img * fb_img / dt_fb, 1)
 
-        dt_fb = _timed(lambda: np.asarray(grad_step(diff)["emission"]), 1)
-        extra["fwdbwd_rays_s"] = round(fb_img * fb_img / dt_fb, 1)
-        extra["fwdbwd_config"] = f"{fb_vol}^3/{fb_img}^2, replay VJP path"
+    def run_fwdbwd():
+        extra["fwdbwd_rays_s"] = _fwdbwd_at(vol, img, max(1, reps - 1))
+        extra["fwdbwd_config"] = (
+            f"{vol}^3/{img}^2, pallas fwd + in-kernel scatter bwd, "
+            "voxel+transfer grads")
+
+    def run_fwdbwd_128():
+        extra["fwdbwd_128_rays_s"] = _fwdbwd_at(128, 256, reps)
+
+    # ---- north-star config: fwd+bwd at 512^3 / 1024^2 ----
+    def run_fwdbwd_big():
+        extra["big_fwdbwd_rays_s"] = _fwdbwd_at(512, 1024, 1)
 
     # ---- north-star forward: 512^3 / 1024^2 ----
     def run_big():
@@ -247,6 +256,10 @@ def main():
         boxed("fwdbwd_rays_s", 120, run_fwdbwd)
     if do_big:
         boxed("big_forward_rays_s", 90, run_big)
+    if do_fwdbwd and do_big:
+        boxed("big_fwdbwd_rays_s", 240, run_fwdbwd_big)
+    if do_fwdbwd:
+        boxed("fwdbwd_128_rays_s", 60, run_fwdbwd_128)
     boxed("r02_config_rays_s", 30, run_r02)
     if do_fwdbwd:
         boxed("transfer_fwdbwd_rays_s", 60, run_transfer)

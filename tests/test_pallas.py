@@ -140,6 +140,58 @@ def test_extreme_fov_falls_back_correctly():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+def test_voxel_grads_fast_matches_replay():
+    """The in-kernel MXU one-hot scatter backward (voxel-grid gradients)
+    matches jax.vjp of the replay path, aliased and not — the full
+    pixel -> voxel/transfer gradient contract of BASELINE.json."""
+    from volume_renderer_tpu.ops.pallas_march import voxel_grads_fast
+    from volume_renderer_tpu.ops.vjp import merge_scene, render_fused, split_scene
+
+    for alias in (False, True):
+        scene = _scene(vol=14, rot=(125, 25, 0), alias=alias)
+        opts = scene.options(32, 32)
+        g = np.asarray(
+            np.random.RandomState(1).randn(32, 32, 3), np.float32) * 1e-3
+
+        img, grads = voxel_grads_fast(scene, opts, g, interpret=True)
+
+        diff, template = split_scene(scene)
+        ref_img, vjp_fn = jax.vjp(
+            lambda d: render_fused(merge_scene(template, d), opts), diff)
+        ref = vjp_fn(jnp.asarray(g))[0]
+
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                                   atol=3e-5, rtol=3e-4)
+        assert set(grads) == set(ref)
+        for key in grads:
+            np.testing.assert_allclose(
+                np.asarray(grads[key]), np.asarray(ref[key]),
+                rtol=5e-3, atol=1e-7, err_msg=f"{key} (alias={alias})")
+
+
+def test_voxel_grads_fast_multi_tile_and_image_reuse():
+    """Multi-tile image + the image-reuse path: gradients still match."""
+    from volume_renderer_tpu.ops.pallas_march import (
+        render_forward_fast, voxel_grads_fast)
+    from volume_renderer_tpu.ops.vjp import merge_scene, render_fused, split_scene
+
+    scene = _scene(vol=13, rot=(200, 160, 80))
+    opts = scene.options(72, 40)
+    g = np.asarray(
+        np.random.RandomState(2).randn(40, 72, 3), np.float32) * 1e-3
+    img0 = render_forward_fast(scene, opts, interpret=True)
+    img, grads = voxel_grads_fast(scene, opts, g, interpret=True, image=img0)
+
+    diff, template = split_scene(scene)
+    _, vjp_fn = jax.vjp(
+        lambda d: render_fused(merge_scene(template, d), opts), diff)
+    ref = vjp_fn(jnp.asarray(g))[0]
+    for key in ("emission", "absorption", "factor_absorption"):
+        np.testing.assert_allclose(
+            np.asarray(grads[key]), np.asarray(ref[key]),
+            rtol=5e-3, atol=1e-7, err_msg=key)
+
+
 def test_transfer_grads_fast_matches_replay():
     """The kernel's transfer-parameter gradients match jax.vjp of the
     replay path for a random pixel cotangent, aliased and not."""
@@ -166,3 +218,73 @@ def test_transfer_grads_fast_matches_replay():
                 np.asarray(grads[key]), np.asarray(ref[key]),
                 rtol=5e-3, atol=1e-8,
                 err_msg=f"{key} (alias={alias})")
+
+
+def test_train_step_fast_matches_train_step():
+    """The kernel-speed training step produces the same parameter update
+    as the replay-VJP train_step (same SSE objective, same optimizer)."""
+    import optax
+
+    from volume_renderer_tpu import train
+
+    scene = _scene(vol=14, rot=(125, 25, 0))
+    opts = scene.options(32, 32)
+    from volume_renderer_tpu.ops.forward import render_forward
+
+    target = np.asarray(render_forward(scene, opts))
+
+    def one_step(step_fn):
+        params, static_scene = train.split_params(scene)
+        params = dict(params)
+        params["emission"] = params["emission"] * 1.3 + 0.05
+        opt = optax.sgd(1e-2)
+        st = opt.init(params)
+        p, _, loss = step_fn(params, st, static_scene, opts, target, opt)
+        return p, float(loss)
+
+    p_fast, l_fast = one_step(train.train_step_fast)
+    p_ref, l_ref = one_step(train.train_step)
+    # train_step's band_loss uses sum((img-target)^2) too
+    assert abs(l_fast - l_ref) / l_ref < 1e-4
+    for key in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_fast[key]), np.asarray(p_ref[key]),
+            rtol=5e-4, atol=1e-7, err_msg=key)
+
+
+def test_fallback_reason_surfaced():
+    """Kernel fallbacks are observable: last_fallback_reason() names the
+    cause and VolumeRenderer.last_plan records what actually ran."""
+    from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+
+    # kernel-served render -> no fallback
+    scene = _scene(vol=12)
+    opts = scene.options(32, 32)
+    render_forward_fast(scene, opts, interpret=True)
+    assert last_fallback_reason() is None
+
+    # wide-fov camera -> degenerate sweep direction
+    from volume_renderer_tpu.models.camera import Camera
+
+    wide = Camera.create(focal_length=0.35,
+                         distance_to_object=1.2).rotate(45, 35, 10)
+    render_forward_fast(scene.replace(camera=wide), opts, interpret=True)
+    assert "sweep" in (last_fallback_reason() or "")
+
+    # lighting-on scene through the facade -> last_plan notes the fallback
+    from volume_renderer_tpu import (
+        LightSource, Volume, VolumeRenderer, henyey_greenstein_lut)
+
+    em = np.asarray(scene.emission.data)
+    r = VolumeRenderer()
+    r.volume_emission = Volume.create(em)
+    r.volume_absorption = Volume.create(em * 0.8)
+    r.volume_reflection = Volume.create(em)
+    r.volume_illumination = henyey_greenstein_lut(8)
+    r.light_sources = [LightSource([2, 3, -1.5], [1, 1, 1])]
+    r.image_resolution = (16, 16)
+    r.rotate(125, 25, 0)
+    r.render()
+    assert r.last_plan.path in ("flat", "pallas")
+    if r.last_plan.path == "flat" and r.last_plan.note:
+        assert "lighting" in r.last_plan.note

@@ -144,3 +144,48 @@ def test_streamed_training_smoke():
         em = em - lr * grads["emission"]
         ab = ab - lr * grads["absorption"]
     assert losses[-1] < losses[0], losses
+
+
+def test_train_step_streamed_and_planned_routing():
+    """train.train_step_streamed (the streamed-tier training step wired
+    into train_step_planned) reduces the loss via optax on host grids."""
+    import optax
+
+    from volume_renderer_tpu import train
+
+    scene, _ = make_scene(vol_shape=(16, 12, 10))
+    opts = scene.options(W, H)
+    target = np.asarray(render_forward(scene, opts))
+
+    params, static_scene = train.split_params(scene)
+    params = dict(params)
+    params["emission"] = params["emission"] * 1.3 + 0.05
+    params["absorption"] = params["absorption"] * 1.2 + 0.02
+    opt = optax.adam(5e-2)
+    st = opt.init(params)
+    losses = []
+    for _ in range(3):
+        params, st, loss = train.train_step_streamed(
+            params, st, static_scene, opts, target, opt, n_slabs=4)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+    # planned routing: a budget that only fits the streamed tier must not
+    # raise (round-3 NotImplementedError) and must reduce the loss too
+    from volume_renderer_tpu.api.planner import plan_render
+
+    merged = train.merge_params(params, static_scene)
+    budget = None
+    for b in range(2 * 10**4, 10**6, 2 * 10**3):
+        try:
+            if plan_render(merged, opts, budget_bytes=b,
+                           training=True).path == "streamed":
+                budget = b
+                break
+        except ValueError:
+            continue
+    assert budget is not None, "no budget selects the streamed tier"
+    params, st, loss, plan = train.train_step_planned(
+        params, st, static_scene, opts, target, opt, budget_bytes=budget)
+    assert plan.path == "streamed", plan
+    assert np.isfinite(float(loss))

@@ -81,12 +81,17 @@ class RenderPlan:
     n_slabs: int = 1
     est_bytes: int = 0
     budget_bytes: int = 0
+    # set after execution when the planned path could not serve the render
+    # and a fallback ran instead (e.g. the Pallas kernel's envelope checks;
+    # see ops.pallas_march.last_fallback_reason)
+    note: str = ""
 
     def __str__(self):
+        note = f", note={self.note!r}" if self.note else ""
         return (
             f"RenderPlan({self.path}, n_slabs={self.n_slabs}, "
             f"est={self.est_bytes / 2**20:.1f} MiB, "
-            f"budget={self.budget_bytes / 2**20:.1f} MiB)"
+            f"budget={self.budget_bytes / 2**20:.1f} MiB{note})"
         )
 
 

@@ -190,9 +190,22 @@ class VolumeRenderer:
         plan = plan_render(scene, opts, budget_bytes=self.memory_budget_bytes)
         self.last_plan = plan
         if plan.path == "pallas":
-            from volume_renderer_tpu.ops.pallas_march import render_forward_fast
+            import dataclasses
 
-            return render_forward_fast(scene, opts, camera_x_offset)
+            from volume_renderer_tpu.ops.pallas_march import (
+                last_fallback_reason,
+                render_forward_fast,
+            )
+
+            img = render_forward_fast(scene, opts, camera_x_offset)
+            reason = last_fallback_reason()
+            if reason is not None:
+                # the kernel bailed at run time; record what actually ran
+                # (the reference reports when it can't serve a render,
+                # mmanager.hxx:144-173 — a silent 100x cliff is a bug)
+                self.last_plan = dataclasses.replace(
+                    plan, path="flat", note=f"pallas fell back: {reason}")
+            return img
         if plan.path == "slabbed":
             from volume_renderer_tpu.ops.slab import render_forward_slabbed
 

@@ -42,6 +42,7 @@ path if a tile's footprint overflows the static window (overflow flag).
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -53,6 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 from volume_renderer_tpu.models.scene import RenderOptions, Scene
 from volume_renderer_tpu.ops.float3 import F3
 from volume_renderer_tpu.ops.geometry import generate_rays, intersect_box
+
+_log = logging.getLogger(__name__)
 
 TILE = 32  # image tile edge (TILE*TILE == 8*128 rays, one vreg set)
 _A_MIN = 0.05  # min |sweep-voxels per step|; below -> fallback (march
@@ -76,6 +79,8 @@ class _KCfg(NamedTuple):
     n_steps: int
     grad_mode: bool = False  # replay: also accumulate per-ray pieces of
     # the transfer-parameter gradients (see transfer_grads_fast)
+    scatter: bool = False  # replay + in-kernel voxel-gradient scatter
+    # (implies grad_mode; see voxel_grads_fast / docs/pallas_backward_design.md)
 
 
 # ---------------------------------------------------------------------------
@@ -87,8 +92,152 @@ _K = 8  # march steps per chunk: samples are batched (K*8, 128) so every
 # VPU op covers K vregs, amortizing issue/loop overhead across steps
 
 
+def _identity128():
+    """(128, 128) f32 identity — the MXU transpose operand."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _mxu_t(a, ident):
+    """Transpose a (128, 128) block on the MXU: out[j, i] = a[i, j].
+
+    ``dot_general`` contracting both operands' sublane axes lowers to the
+    lhs-transposed matmul pattern; with the identity as rhs the result is
+    the exact transpose (integer-valued f32 inputs stay exact).
+    """
+    return jax.lax.dot_general(
+        a, ident, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _scatter_chunk(cfg: "_KCfg", ident, gwin_ref, dv_em, dv_ab,
+                   zf0, zf1, fy, wy0, wy1, fx, xl0, xl1):
+    """Scatter-add one chunk's per-sample cotangents into the grad windows.
+
+    The MXU one-hot scatter of docs/pallas_backward_design.md (Option A),
+    restructured to avoid the sample-major relayout: for each sublane
+    group ``i`` of the (K*8, 128) chunk block, its 128 samples are moved
+    onto the matmul contraction axis by ONE MXU transpose per array
+    (hoisted out of the i-loop) plus a uniform lane-gather replication
+    per array per i (``take_along_axis`` with a constant index — the
+    kernel's proven-fast primitive). Per i, a y/z-weighted one-hot block
+    A (128, 128) per (role, z) and an x one-hot X (128, WC) contract as
+    A^T @ X on the MXU, accumulating each block's (128, WC) scatter
+    image; blocks sum into ``gwin_ref`` and are read-modify-written to
+    the HBM grids per (tile, slab) by ``_rmw_grad_windows``.
+
+    This is the exact adjoint of the forward's separable trilinear
+    gather: identical wy/xl/zfac index math, so clamped boundary taps
+    (CUDA-texture clamp addressing, reference volumeRender_kernel.cu:
+    544-548) send their gradients to the same clamped voxels the forward
+    read. ``dv_em``/``dv_ab`` must already be masked to active samples.
+    """
+    KS = _K * 8
+    WC = cfg.wc
+    f32 = jnp.float32
+    fy1 = 1.0 - fy
+
+    def prods(dv):
+        # (z-corner, y-corner) pre-products; both y-corners of a (role,
+        # z) block feed one A one-hot, so they pair as (2b, 2b+1).
+        return (dv * zf0 * fy1, dv * zf0 * fy, dv * zf1 * fy1, dv * zf1 * fy)
+
+    ps = list(prods(dv_em))
+    if not cfg.ab_aliased:
+        ps += list(prods(dv_ab))
+    nblk = len(ps) // 2
+
+    arrs = ps + [wy0.astype(f32), wy1.astype(f32), fx,
+                 xl0.astype(f32), xl1.astype(f32)]
+    pad = ((0, 128 - KS), (0, 0))
+    ts = [_mxu_t(jnp.pad(a, pad), ident) for a in arrs]
+    pt = ts[:len(ps)]
+    wy0t, wy1t, fxt, xl0t, xl1t = ts[len(ps):]
+
+    # A rows span the full 128-row tile (rows >= wr stay zero): keeping
+    # the one-hot width static at 128 avoids sub-128 lane slicing.
+    riota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1).astype(f32)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (128, WC), 1).astype(f32)
+
+    def body(i, gs):
+        # Mosaic's gather lowering requires idx.shape == input.shape, so
+        # replication gathers run at (128, 128) and widen by concat (all
+        # lanes hold the same column-i value anyway).
+        iy = jnp.full((128, 128), i, jnp.int32)
+
+        def ry(at):
+            return jnp.take_along_axis(at, iy, axis=-1)
+
+        def rc(at):
+            r = jnp.take_along_axis(at, iy, axis=-1)
+            if WC == 128:
+                return r
+            return jnp.concatenate([r] * (WC // 128), axis=-1)
+
+        y0 = ry(wy0t) == riota
+        y1 = ry(wy1t) == riota
+        fxr = rc(fxt)
+        x = (jnp.where(rc(xl0t) == ciota, 1.0 - fxr, 0.0)
+             + jnp.where(rc(xl1t) == ciota, fxr, 0.0))
+        out = []
+        for b in range(nblk):
+            a = (jnp.where(y0, ry(pt[2 * b]), 0.0)
+                 + jnp.where(y1, ry(pt[2 * b + 1]), 0.0))
+            out.append(gs[b] + jax.lax.dot_general(
+                a, x, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32))
+        return tuple(out)
+
+    zero = jnp.zeros((128, WC), f32)
+    gs = jax.lax.fori_loop(0, KS, body, (zero,) * nblk)
+    for b in range(nblk):
+        gwin_ref[b] += gs[b]
+
+
+def _rmw_grad_windows(cfg: "_KCfg", s, y0w, x0w, gwin_ref, gem_ref, gab_ref,
+                      rmw_ref, rsem):
+    """Accumulate the slab's grad windows into the HBM grids.
+
+    Read-modify-write of the (wr, 128) window segments for both slices
+    (s, s+1) of every (role, z) block. All reads are issued before any
+    wait; all writes are waited before returning, so the next slab's
+    reads of the shared slice s+1 observe this slab's contribution. The
+    sequential TPU grid makes the cross-tile accumulation race-free.
+    """
+    nseg = cfg.wc // 128
+    nblk = 2 if cfg.ab_aliased else 4
+    plan = []
+    k = 0
+    for b in range(nblk):
+        ref = gem_ref if b < 2 else gab_ref
+        z = b % 2
+        for seg in range(nseg):
+            plan.append((k, ref, z, seg, b))
+            k += 1
+
+    def cp(k, ref, z, seg, to_hbm):
+        xs = pl.multiple_of(x0w + seg * 128, 128)
+        hbm = ref.at[s + z, pl.ds(y0w, cfg.wr), pl.ds(xs, 128)]
+        buf = rmw_ref.at[k]
+        src, dst = (buf, hbm) if to_hbm else (hbm, buf)
+        return pltpu.make_async_copy(src, dst, rsem.at[k])
+
+    for k, ref, z, seg, b in plan:
+        cp(k, ref, z, seg, False).start()
+    for k, ref, z, seg, b in plan:
+        cp(k, ref, z, seg, False).wait()
+    for k, ref, z, seg, b in plan:
+        rmw_ref[k] += gwin_ref[b, 0:cfg.wr, seg * 128:(seg + 1) * 128]
+    for k, ref, z, seg, b in plan:
+        cp(k, ref, z, seg, True).start()
+    for k, ref, z, seg, b in plan:
+        cp(k, ref, z, seg, True).wait()
+
+
 def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
-                  gt_ref, out_ref, ovf_ref, wem, wab, sems):
+                  gt_ref, out_ref, ovf_ref, wem, wab, sems,
+                  gem_ref=None, gab_ref=None, gwin=None, rmw=None, rsem=None):
     """One image tile: sweep all slice pairs, composite, write (4,8,128).
 
     Inner structure: per slice pair, the tile's owned march steps are
@@ -127,6 +276,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
 
     inv_a = jnp.where(hit, 1.0 / jnp.where(hit, av, 1.0), 0.0)
     icap_f = icap.astype(jnp.float32)
+    ident = _identity128() if cfg.scatter else None
 
     def rep(v):
         """(8,128) -> (K*8,128): one copy per step slot of a chunk."""
@@ -371,7 +521,8 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                 #   Fab = sum ab dt [gcol em' T (1-alpha) - (tot - prefix_k)]
                 em_term = fem * em_s * tstep
                 contrib_g = jnp.where(act, t_k * alpha * em_term * gcolb, 0.0)
-                pref_incl = rep(pref) + scan_add(contrib_g)
+                cg_scan = scan_add(contrib_g)
+                pref_incl = rep(pref) + cg_scan
                 e_chunk = scan_add(
                     jnp.where(act, t_k * alpha * em_s, 0.0))[KS - 8:KS, :]
                 fab_term = jnp.where(
@@ -380,14 +531,37 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                                     - (totb - pref_incl)),
                     0.0)
                 f_chunk = scan_add(fab_term)[KS - 8:KS, :]
-                pref = pref + scan_add(contrib_g)[KS - 8:KS, :]
+                pref = pref + cg_scan[KS - 8:KS, :]
+
+                if cfg.scatter:
+                    # per-tap cotangents (docs/pallas_backward_design.md):
+                    # d(em tap) = T alpha f_em dt (g.col); d(ab tap) =
+                    # f_ab dt [(1-alpha) T em' (g.col) - (tot - prefix)]
+                    dv_em = jnp.where(
+                        act, t_k * alpha * (fem * tstep) * gcolb, 0.0)
+                    dv_ab = jnp.where(
+                        act,
+                        (fab * tstep) * (gcolb * em_term * t_k * (1.0 - alpha)
+                                         - (totb - pref_incl)),
+                        0.0)
+                    if cfg.ab_aliased:
+                        # same grid, same corner weights: one combined scatter
+                        dv_em = dv_em + dv_ab
+                    _scatter_chunk(cfg, ident, gwin, dv_em, dv_ab,
+                                   zfac[0], zfac[1], fy, wy0, wy1,
+                                   fx, xl0, xl1)
                 return (rr, gg, bb, new_ww, pref, eac + e_chunk,
                         fac + f_chunk)
 
+            if cfg.scatter:
+                gwin[...] = jnp.zeros_like(gwin)
             if cfg.grad_mode:
                 rr, gg, bb, ww, pref, eac, fac = jax.lax.fori_loop(
                     0, n_chunks, chunk_body,
                     (rr, gg, bb, ww, pref, eac, fac))
+                if cfg.scatter:
+                    _rmw_grad_windows(cfg, s, y0w, x0w, gwin,
+                                      gem_ref, gab_ref, rmw, rsem)
                 return (rr, gg, bb, ww, pref, eac, fac, ovf)
             rr, gg, bb, ww = jax.lax.fori_loop(
                 0, n_chunks, chunk_body, (rr, gg, bb, ww))
@@ -448,12 +622,17 @@ def _untile_image(tiles: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
 
 def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
             axis: str, ascending: bool, wr: int, interpret: bool,
-            grad_inputs=None):
-    """Shared setup + kernel launch (forward or grad-replay mode).
+            grad_inputs=None, scatter: bool = False):
+    """Shared setup + kernel launch (forward / grad-replay / full backward).
 
     grad_inputs=None: forward; returns (image, ovf_any, dir_ok).
     grad_inputs=(g_img, out_img): replay with transfer-parameter gradient
     accumulation; returns (d_fem, d_fab, d_color, ovf_any, dir_ok).
+    scatter=True (with grad_inputs): additionally scatter per-tap
+    cotangents into voxel-grid gradient buffers in-kernel; returns
+    (d_em_grid, d_ab_grid_or_None, d_fem, d_fab, d_color, ovf_any,
+    dir_ok). The adjoint of the CUDA march (reference
+    volumeRender_kernel.cu:365-507) at kernel speed.
     """
     perm, roles = _AXIS_SETUP[axis]
 
@@ -543,7 +722,7 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     grad_mode = grad_inputs is not None
     cfg = _KCfg(d=D, h=H, w=W, hp=HP, wp=WP, wr=WR, wc=WC,
                 ascending=ascending, ab_aliased=scene.absorption_aliased,
-                n_steps=opts.n_steps, grad_mode=grad_mode)
+                n_steps=opts.n_steps, grad_mode=grad_mode, scatter=scatter)
 
     if grad_mode:
         g_img, out_img = grad_inputs
@@ -561,54 +740,95 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     else:
         gt = jnp.zeros((n_tiles, 2, 8, 128), jnp.float32)
 
-    if ab is None:
-        def kernel(rayf, rayi, em_r, consts_r, gt_r, out_r, ovf_r,
-                   wem, wab, sems):
-            _march_kernel(cfg, rayf, rayi, em_r, None, consts_r, gt_r,
-                          out_r, ovf_r, wem, wab, sems)
-    else:
-        def kernel(rayf, rayi, em_r, ab_r, consts_r, gt_r, out_r, ovf_r,
-                   wem, wab, sems):
-            _march_kernel(cfg, rayf, rayi, em_r, ab_r, consts_r, gt_r,
-                          out_r, ovf_r, wem, wab, sems)
-    ab_in = [] if ab is None else [ab]
-    ab_spec = [] if ab is None else [pl.BlockSpec(memory_space=pltpu.ANY)]
+    has_ab = ab is not None
+
+    def kernel(*refs):
+        it = iter(refs)
+        rayf_r, rayi_r, em_r = next(it), next(it), next(it)
+        ab_r = next(it) if has_ab else None
+        consts_r, gt_r = next(it), next(it)
+        if scatter:
+            next(it)  # gem seed (aliased to the gem output; RMW uses out)
+            if has_ab:
+                next(it)  # gab seed
+        out_r, ovf_r = next(it), next(it)
+        gem_o = next(it) if scatter else None
+        gab_o = next(it) if (scatter and has_ab) else None
+        wem_s, wab_s, sems_s = next(it), next(it), next(it)
+        gwin_s = next(it) if scatter else None
+        rmw_s = next(it) if scatter else None
+        rsem_s = next(it) if scatter else None
+        _march_kernel(cfg, rayf_r, rayi_r, em_r, ab_r, consts_r, gt_r,
+                      out_r, ovf_r, wem_s, wab_s, sems_s,
+                      gem_ref=gem_o, gab_ref=gab_o, gwin=gwin_s,
+                      rmw=rmw_s, rsem=rsem_s)
+
+    ab_in = [ab] if has_ab else []
+    ab_spec = [pl.BlockSpec(memory_space=pl.ANY)] if has_ab else []
     nseg = WC // 128
-    wab_scratch = (pltpu.VMEM((nseg, 2, WR, 128), jnp.float32) if ab is not None
+    wab_scratch = (pltpu.VMEM((nseg, 2, WR, 128), jnp.float32) if has_ab
                    else pltpu.VMEM((1, 1, 1, 128), jnp.float32))
     n_out_ch = 6 if grad_mode else 4
 
-    out, ovf = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, 6, 8, 128), lambda t: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        *ab_spec,
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, n_out_ch, 8, 128), lambda t: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8, 128), lambda t: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, n_out_ch, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, 8, 128), jnp.int32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((nseg, 2, WR, 128), jnp.float32),
+        wab_scratch,
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
+    grad_in = []
+    aliases = {}
+    if scatter:
+        nblk = 4 if has_ab else 2
+        grid_shape = (D, HP, WP)
+        grad_in.append(jnp.zeros(grid_shape, jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct(grid_shape, jnp.float32))
+        aliases[5 + (1 if has_ab else 0)] = 2
+        if has_ab:
+            grad_in.append(jnp.zeros(grid_shape, jnp.float32))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            out_shape.append(jax.ShapeDtypeStruct(grid_shape, jnp.float32))
+            aliases[7] = 3
+        scratch_shapes += [
+            pltpu.VMEM((nblk, 128, WC), jnp.float32),
+            pltpu.VMEM((nblk * nseg, WR, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((nblk * nseg,)),
+        ]
+
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 6, 8, 128), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            *ab_spec,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, n_out_ch, 8, 128), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, n_out_ch, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, 8, 128), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((nseg, 2, WR, 128), jnp.float32),
-            wab_scratch,
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(rayf, rayi, em, *ab_in, consts, gt)
+    )(rayf, rayi, em, *ab_in, consts, gt, *grad_in)
+    out, ovf = outs[0], outs[1]
 
     ovf_any = jnp.any(ovf[:, :, 0, 0] != 0)
     if grad_mode:
@@ -621,6 +841,13 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         d_fab = jnp.sum(f_img)
         d_color = (scene.settings.factor_emission * ts
                    * jnp.sum(g_img * e_img[..., None], axis=(0, 1)))
+        if scatter:
+            inv = tuple(int(i) for i in np.argsort(perm))
+            d_em_grid = jnp.transpose(outs[2][:, :H, :W], inv)
+            d_ab_grid = (jnp.transpose(outs[3][:, :H, :W], inv)
+                         if has_ab else None)
+            return (d_em_grid, d_ab_grid, d_fem, d_fab, d_color,
+                    ovf_any, dir_ok)
         return d_fem, d_fab, d_color, ovf_any, dir_ok
 
     img_r = _untile_image(out[:, 0], hp_img, wp_img)[:h_img, :w_img]
@@ -651,6 +878,17 @@ def _replay_grads_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
                    interpret, grad_inputs=(g_img, out_img))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "axis", "ascending", "wr", "interpret"),
+)
+def _voxel_grads_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
+                       axis: str, ascending: bool, wr: int, interpret: bool,
+                       g_img, out_img):
+    return _launch(scene, opts, camera_x_offset, axis, ascending, wr,
+                   interpret, grad_inputs=(g_img, out_img), scatter=True)
+
+
 def choose_sweep_axis(scene: Scene) -> Tuple[str, bool]:
     """Host-side principal-axis pick from the (concrete) camera basis.
 
@@ -666,18 +904,45 @@ def choose_sweep_axis(scene: Scene) -> Tuple[str, bool]:
 
 def pallas_supported(scene: Scene, opts: RenderOptions) -> bool:
     """Static-shape / feature eligibility for the Pallas fast path."""
+    return unsupported_reason(scene, opts) is None
+
+
+def unsupported_reason(scene: Scene, opts: RenderOptions) -> Optional[str]:
+    """None when the kernel can serve the scene, else a short reason."""
     if scene.has_lighting:
-        return False
+        return "lighting (HG-LUT shading rides the flat path for now)"
     for vol in (scene.emission, scene.absorption):
         if vol is None:
             continue
         d = vol.data.shape
         if len(d) != 3 or min(d) < 2 or vol.data.dtype != jnp.float32:
-            return False
+            return f"volume shape/dtype {d}/{vol.data.dtype} outside envelope"
     if not scene.absorption_aliased:
         if scene.absorption.data.shape != scene.emission.data.shape:
-            return False
-    return True
+            return "emission/absorption shape mismatch"
+    return None
+
+
+_last_fallback: Optional[str] = None
+
+
+def last_fallback_reason() -> Optional[str]:
+    """Why the most recent ``render_forward_fast`` / ``*_grads_fast``
+    call LEFT the Pallas kernel (None = the kernel served the call).
+
+    The reference's memory manager at least reports when it cannot serve
+    a render (mmanager.hxx:144-173); this is the kernel-envelope analog —
+    a silent 100x perf cliff is a bug, not a fallback. The reason is also
+    logged at WARNING level, and ``VolumeRenderer.last_plan`` records it.
+    """
+    return _last_fallback
+
+
+def _note_fallback(reason: Optional[str]) -> None:
+    global _last_fallback
+    _last_fallback = reason
+    if reason is not None:
+        _log.warning("pallas march fell back to the flat path: %s", reason)
 
 
 def render_forward_fast(
@@ -699,7 +964,9 @@ def render_forward_fast(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    if not pallas_supported(scene, opts):
+    reason = unsupported_reason(scene, opts)
+    if reason is not None:
+        _note_fallback(reason)
         return render_forward(scene, opts, camera_x_offset)
 
     axis, ascending = choose_sweep_axis(scene)
@@ -708,9 +975,14 @@ def render_forward_fast(
             scene, opts, jnp.float32(camera_x_offset), axis, ascending,
             wr, bool(interpret))
         if not bool(dir_ok):
+            _note_fallback(
+                "degenerate sweep direction (camera fov too wide for the "
+                f"monotone {axis}-sweep)")
             return render_forward(scene, opts, camera_x_offset)
         if not bool(ovf):
+            _note_fallback(None)
             return image
+    _note_fallback("tile sample footprint overflowed the 128-row window")
     return render_forward(scene, opts, camera_x_offset)
 
 
@@ -756,7 +1028,9 @@ def transfer_grads_fast(
             "color": d["color"],
         }
 
-    if not pallas_supported(scene, opts):
+    reason = unsupported_reason(scene, opts)
+    if reason is not None:
+        _note_fallback(reason)
         return fallback()
 
     axis, ascending = choose_sweep_axis(scene)
@@ -765,6 +1039,7 @@ def transfer_grads_fast(
             scene, opts, jnp.float32(camera_x_offset), axis, ascending,
             wr, bool(interpret))
         if not bool(dir_ok):
+            _note_fallback("degenerate sweep direction")
             return fallback()
         if bool(ovf):
             continue
@@ -773,9 +1048,101 @@ def transfer_grads_fast(
             wr, bool(interpret), jnp.asarray(g, jnp.float32), image)
         if bool(ovf2):
             continue
+        _note_fallback(None)
         return image, {
             "factor_emission": d_fem,
             "factor_absorption": d_fab,
             "color": d_color,
         }
+    _note_fallback("tile sample footprint overflowed the 128-row window")
+    return fallback()
+
+
+def voxel_grads_fast(
+    scene: Scene,
+    opts: RenderOptions,
+    g: jnp.ndarray,
+    camera_x_offset: float = 0.0,
+    *,
+    interpret: Optional[bool] = None,
+    image: Optional[jnp.ndarray] = None,
+):
+    """Full backward (pixel -> voxel-grid + transfer gradients) at kernel
+    speed: the in-kernel MXU one-hot scatter (Option A of
+    docs/pallas_backward_design.md) replaces the XLA replay path's serial
+    scatter-adds, which were the ~100x fwd+bwd bottleneck.
+
+    Given the pixel cotangent ``g`` (H, W, 3), returns
+    ``(image, grads)`` where ``grads`` carries the same keys as
+    ``ops.vjp.split_scene``'s diff for a lighting-off scene: ``emission``
+    (voxel grid), ``absorption`` (if not aliased), ``reflection`` zeros
+    (if a reflection volume is attached but lighting is off),
+    ``factor_emission``, ``factor_absorption``, ``factor_reflection``
+    (zero: lighting off), ``color``. Values match ``jax.vjp`` of
+    ``ops.vjp.render_fused`` (allclose); geometry is non-differentiable
+    here exactly as there. Adjoint of the reference march,
+    volumeRender_kernel.cu:365-507.
+
+    Pass ``image`` to reuse an already-rendered forward image (it must be
+    the kernel's own output for the gradients to be exact). Falls back to
+    the replay VJP path off the kernel's envelope. Host-driven; not
+    jit-compatible — for jax.grad composition use ops.vjp.render_fused.
+    """
+    import jax as _jax
+
+    from volume_renderer_tpu.ops.vjp import merge_scene, render_fused, split_scene
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def fallback():
+        diff, template = split_scene(scene)
+
+        def forward(d):
+            return render_fused(merge_scene(template, d), opts, camera_x_offset)
+
+        img, vjp_fn = _jax.vjp(forward, diff)
+        return img, vjp_fn(jnp.asarray(g, jnp.float32))[0]
+
+    reason = unsupported_reason(scene, opts)
+    if reason is not None:
+        _note_fallback(reason)
+        return fallback()
+
+    axis, ascending = choose_sweep_axis(scene)
+    for wr in (64, 128):
+        if image is None or wr != 64:
+            img, ovf, dir_ok = _render_tiled(
+                scene, opts, jnp.float32(camera_x_offset), axis, ascending,
+                wr, bool(interpret))
+            if not bool(dir_ok):
+                _note_fallback("degenerate sweep direction")
+                return fallback()
+            if bool(ovf):
+                continue
+        else:
+            img = image
+        d_em, d_ab, d_fem, d_fab, d_color, ovf2, dir_ok2 = _voxel_grads_tiled(
+            scene, opts, jnp.float32(camera_x_offset), axis, ascending,
+            wr, bool(interpret), jnp.asarray(g, jnp.float32), img)
+        if not bool(dir_ok2):
+            _note_fallback("degenerate sweep direction")
+            return fallback()
+        if bool(ovf2):
+            continue
+        grads = {
+            "emission": d_em,
+            "factor_emission": d_fem,
+            "factor_absorption": d_fab,
+            "factor_reflection": jnp.float32(0.0),
+            "color": d_color,
+        }
+        if not scene.absorption_aliased:
+            grads["absorption"] = d_ab
+        if not scene.reflection_aliased:
+            grads["reflection"] = jnp.zeros(
+                scene.reflection.data.shape, jnp.float32)
+        _note_fallback(None)
+        return img, grads
+    _note_fallback("tile sample footprint overflowed the 128-row window")
     return fallback()

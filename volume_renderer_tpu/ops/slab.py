@@ -753,6 +753,7 @@ def streamed_grads(
     *,
     n_slabs: int,
     camera_x_offset: float = 0.0,
+    g_fn=None,
 ):
     """Pixel-cotangent backward with HOST-resident voxel grids.
 
@@ -761,6 +762,11 @@ def streamed_grads(
     device-resident at a time. Returns a dict of HOST (numpy) gradients
     for the sampled grids (keys: emission/absorption/... as in
     ops.vjp.split_scene) and the transfer parameters.
+
+    Pass ``g_fn`` (image -> cotangent, e.g. the closed-form SSE loss
+    gradient) instead of ``g`` when the cotangent depends on the forward
+    image — the streamed forward pass runs here anyway, so this avoids a
+    second full stream (train.train_step_streamed uses it).
     """
     _check_divisible(scene, n_slabs)
     n_rows = opts.height
@@ -787,6 +793,8 @@ def streamed_grads(
         gradient_z=ph_vol(scene.gradient_z),
     )
 
+    if g is None:
+        g = g_fn(out)
     r = n_rows * opts.width
     g_flat = np.asarray(g, np.float32).reshape(r, 3)
     out_flat = out.reshape(r, 3)
