@@ -202,6 +202,21 @@ def main():
         extra["vs_ref_gpu"] = round(
             1024 * 1024 / dt_big / REF_GPU_FWD_RAYS_S, 3)
 
+    # ---- lighting-on forward (HG-LUT shading, on-the-fly gradients) ----
+    # The reference's flagship workload (example1.m); round 3 served it on
+    # the ~200x-collapsed XLA gather path, round 4 through the kernel.
+    def run_lighting():
+        scene_l = _flagship_scene(vol=vol, lighting=True)
+        opts_l = scene_l.options(img, img)
+        dt_l = _timed(lambda: render_forward_fast(scene_l, opts_l),
+                      max(1, reps - 1))
+        from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+
+        extra["lighting_rays_s"] = round(img * img / dt_l, 1)
+        extra["lighting_path"] = (
+            "pallas" if last_fallback_reason() is None
+            else f"fallback: {last_fallback_reason()}")
+
     # ---- r02's exact config, for the direct longitudinal comparison ----
     def run_r02():
         scene_r02 = _flagship_scene(vol=128, lighting=False)
@@ -260,6 +275,7 @@ def main():
         boxed("big_fwdbwd_rays_s", 240, run_fwdbwd_big)
     if do_fwdbwd:
         boxed("fwdbwd_128_rays_s", 60, run_fwdbwd_128)
+    boxed("lighting_rays_s", 90, run_lighting)
     boxed("r02_config_rays_s", 30, run_r02)
     if do_fwdbwd:
         boxed("transfer_fwdbwd_rays_s", 60, run_transfer)

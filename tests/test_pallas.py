@@ -88,16 +88,53 @@ def test_opaque_scene_early_termination():
     _check(scene)
 
 
-def test_lighting_scene_falls_back():
+def _lit_scene(vol=14, rot=(125, 25, 0), alias=False, lut_n=16, n_lights=1,
+               lookup=False):
     from volume_renderer_tpu.ops.hg import henyey_greenstein_lut
 
-    scene = _scene()
-    scene = scene.replace(
-        reflection=Volume.create(np.asarray(scene.emission.data)),
-        illumination=henyey_greenstein_lut(8),
-        light_positions=jnp.asarray([[2.0, 3.0, -1.5]], jnp.float32),
-        light_colors=jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32),
+    scene = _scene(vol=vol, rot=rot, alias=alias)
+    lp = [[2.0, 3.0, -1.5], [-1.0, 2.0, 2.0]][:n_lights]
+    lc = [[1.0, 0.8, 0.6], [0.4, 0.5, 1.0]][:n_lights]
+    kwargs = dict(
+        reflection=Volume.create(np.asarray(scene.emission.data) * 0.9),
+        illumination=henyey_greenstein_lut(lut_n),
+        light_positions=jnp.asarray(lp, jnp.float32),
+        light_colors=jnp.asarray(lc, jnp.float32),
     )
+    if lookup:
+        em = np.asarray(scene.emission.data)
+        gz, gy, gx = np.gradient(em)
+        kwargs.update(gradient_x=Volume.create(gx.astype(np.float32)),
+                      gradient_y=Volume.create(gy.astype(np.float32)),
+                      gradient_z=Volume.create(gz.astype(np.float32)))
+    return scene.replace(**kwargs)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [dict(), dict(alias=True, lut_n=32), dict(rot=(200, 160, 80)),
+     dict(n_lights=2), dict(rot=(0, 90, 0))],
+    ids=["base", "alias-lut32", "tilt2", "two-lights", "axis-y"],
+)
+def test_lighting_through_kernel(case):
+    """HG-LUT shading with on-the-fly gradients renders through the Pallas
+    kernel allclose vs the flat path (reference example1 configuration,
+    volumeRender_kernel.cu:308-353)."""
+    scene = _lit_scene(**case)
+    opts = scene.options(32, 32)
+    assert pallas_supported(scene, opts)
+    ref = np.asarray(render_forward(scene, opts))
+    out = np.asarray(render_forward_fast(scene, opts, interpret=True))
+    from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+
+    assert last_fallback_reason() is None
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-4)
+
+
+def test_lookup_gradient_scene_falls_back():
+    """Precomputed gradient volumes (example1_grad) still ride the flat
+    path — with identical output."""
+    scene = _lit_scene(lookup=True)
     opts = scene.options(16, 16)
     assert not pallas_supported(scene, opts)
     ref = np.asarray(render_forward(scene, opts))
@@ -286,5 +323,5 @@ def test_fallback_reason_surfaced():
     r.rotate(125, 25, 0)
     r.render()
     assert r.last_plan.path in ("flat", "pallas")
-    if r.last_plan.path == "flat" and r.last_plan.note:
-        assert "lighting" in r.last_plan.note
+    if r.last_plan.path == "flat":
+        assert r.last_plan.note.startswith("pallas fell back")

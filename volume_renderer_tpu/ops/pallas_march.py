@@ -81,6 +81,13 @@ class _KCfg(NamedTuple):
     # the transfer-parameter gradients (see transfer_grads_fast)
     scatter: bool = False  # replay + in-kernel voxel-gradient scatter
     # (implies grad_mode; see voxel_grads_fast / docs/pallas_backward_design.md)
+    lighting: bool = False  # HG-LUT shading with on-the-fly gradients
+    # (reference volumeRender_kernel.cu:308-353; forward only)
+    n_lights: int = 0
+    lut_l: int = 0     # illumination LUT edge length
+    lut_segs: int = 0  # 128-lane segments per LUT row (ceil(L^2/128))
+    re_aliased: bool = True
+    axis: str = "z"    # sweep axis (maps tap pairs to world gradient axes)
 
 
 # ---------------------------------------------------------------------------
@@ -235,9 +242,117 @@ def _rmw_grad_windows(cfg: "_KCfg", s, y0w, x0w, gwin_ref, gem_ref, gab_ref,
         cp(k, ref, z, seg, True).wait()
 
 
+# ---------------------------------------------------------------------------
+# lighting-mode helpers (reference volumeRender_kernel.cu:284-353)
+# ---------------------------------------------------------------------------
+
+_ANGLE_EPS2 = 1e-24  # squared-length-product guard (raymarch_core.ANGLE_DENOM_EPS^2)
+_GRAD_EPS2 = 1e-12   # zero-normal clamp (raymarch_core.GRAD_EPS2)
+_PI = 3.14159265358979323846
+
+
+def _acos(x):
+    """float32 arccos via the cephes asinf minimax polynomial (~1 ulp).
+
+    Mosaic lowers no acos/atan primitives; this matches XLA's arccos (the
+    oracle/flat paths) to ~1e-7 rad — far inside the allclose contract.
+    """
+    a = jnp.abs(x)
+    big = a > 0.5
+    z2 = jnp.where(big, 0.5 * (1.0 - a), a * a)
+    r = jnp.where(big, jnp.sqrt(z2), a)
+    p = ((((4.2163199048e-2 * z2 + 2.4181311049e-2) * z2
+           + 4.5470025998e-2) * z2 + 7.4953002686e-2) * z2
+         + 1.6666752422e-1)
+    asin_r = r + r * z2 * p
+    acos_a = jnp.where(big, 2.0 * asin_r, jnp.float32(_PI / 2) - asin_r)
+    return jnp.where(x < 0, jnp.float32(_PI) - acos_a, acos_a)
+
+
+def _vangle(ax, ay, az, bx, by, bz):
+    """acos of the normalized dot product, guarded like raymarch_core.angle
+    (forward value only — the lighting kernel is not differentiated)."""
+    d2 = ((ax * ax + ay * ay + az * az)
+          * (bx * bx + by * by + bz * bz))
+    safe = d2 > _ANGLE_EPS2
+    dotp = ax * bx + ay * by + az * bz
+    ratio = jnp.where(safe,
+                      dotp * jax.lax.rsqrt(jnp.where(safe, d2, 1.0)), 0.0)
+    return _acos(jnp.clip(ratio, -1.0, 1.0))
+
+
+def _lut_fetch(cfg: "_KCfg", lut_ref, act, a, b, g):
+    """CUDA-semantics trilinear fetch of the illumination LUT at the
+    normalized angle triple (a, b, g) for every sample of a chunk block.
+
+    The LUT has no window coherence (coords are data-dependent normals),
+    so instead of the volume windows' DMA machinery the whole LUT sits in
+    VMEM laid out as (L * SEGS, 128) rows — row b*SEGS+seg holds lanes
+    [seg*128, (seg+1)*128) of slice b's (g, a)-flattened plane — and the
+    fetch loops the chunk's OCCUPIED (b-row, lane-segment) rectangle
+    (vector min/max over active samples), broadcasting one row per
+    iteration and lane-gathering the in-segment corners under masks. On
+    coherent normals (real volumes are smooth) the rectangle is a few
+    rows by a few segments; worst-case (noise normals) it degrades
+    toward L*SEGS iterations, never worse than the XLA gather fallback.
+    Exact trilinear-of-grid semantics (ops/sampling.py): u = c*L - 0.5,
+    corner clamp, fractional weights from the unclamped floor.
+    """
+    KS = _K * 8
+    L, SEGS = cfg.lut_l, cfg.lut_segs
+    f32 = jnp.float32
+
+    def setup(c, n):
+        u = c * jnp.float32(n) - 0.5
+        f0 = jnp.floor(u)
+        fr = u - f0
+        f0i = jnp.clip(f0, -_BIG, _BIG).astype(jnp.int32)
+        return jnp.clip(f0i, 0, n - 1), jnp.clip(f0i + 1, 0, n - 1), fr
+
+    a0, a1, fa = setup(a, L)
+    b0, b1, fb = setup(b, L)
+    g0, g1, fg = setup(g, L)
+
+    idx_lo = g0 * L + a0
+    idx_hi = g1 * L + a1
+
+    big = jnp.int32(SEGS * 128 - 1)
+    b_lo = jnp.min(jnp.where(act, b0, L - 1))
+    b_hi = jnp.max(jnp.where(act, b1, 0))
+    s_lo = jnp.min(jnp.where(act, idx_lo, big)) // 128
+    s_hi = jnp.max(jnp.where(act, idx_hi, 0)) // 128
+    nseg = s_hi - s_lo + 1
+    count = jnp.maximum(0, b_hi - b_lo + 1) * jnp.maximum(0, nseg)
+
+    fa1, fb1, fg1 = 1.0 - fa, 1.0 - fb, 1.0 - fg
+    corners = (
+        (idx_lo, fg1 * fa1),
+        (g0 * L + a1, fg1 * fa),
+        (g1 * L + a0, fg * fa1),
+        (idx_hi, fg * fa),
+    )
+
+    def it(t, acc):
+        bq = b_lo + t // nseg
+        seg = s_lo + t % nseg
+        row = jnp.broadcast_to(
+            lut_ref[bq * SEGS + seg, :].reshape(1, 128), (KS, 128))
+        wb = (jnp.where(b0 == bq, fb1, 0.0) + jnp.where(b1 == bq, fb, 0.0))
+        val = jnp.zeros((KS, 128), f32)
+        for idx, w in corners:
+            m = (idx // 128) == seg
+            lane = jnp.clip(idx - seg * 128, 0, 127)
+            v = jnp.take_along_axis(row, lane, axis=-1)
+            val = val + jnp.where(m, v * w, 0.0)
+        return acc + val * wb
+
+    return jax.lax.fori_loop(0, count, it, jnp.zeros((KS, 128), f32))
+
+
 def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                   gt_ref, out_ref, ovf_ref, wem, wab, sems,
-                  gem_ref=None, gab_ref=None, gwin=None, rmw=None, rsem=None):
+                  gem_ref=None, gab_ref=None, gwin=None, rmw=None, rsem=None,
+                  lut_ref=None, re_ref=None, wre=None):
     """One image tile: sweep all slice pairs, composite, write (4,8,128).
 
     Inner structure: per slice pair, the tile's owned march steps are
@@ -273,6 +388,12 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
     col_g = consts_ref[4]
     col_b = consts_ref[5]
     thr = consts_ref[6]
+    if cfg.lighting:
+        f_re = consts_ref[7]
+        ogx, ogy, ogz = consts_ref[8], consts_ref[9], consts_ref[10]
+        off_u = consts_ref[11]   # OTF gradient tap offsets, voxel units,
+        off_rw = consts_ref[12]  # per (sweep, row, lane) role
+        off_ln = consts_ref[13]
 
     inv_a = jnp.where(hit, 1.0 / jnp.where(hit, av, 1.0), 0.0)
     icap_f = icap.astype(jnp.float32)
@@ -283,6 +404,9 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         return jnp.broadcast_to(v.reshape(1, 8, 128), (K, 8, 128)).reshape(KS, 128)
 
     x0b, xsb, y0b, ysb, u0b, avb = map(rep, (x0v, xsv, y0v, ysv, u0v, av))
+    if cfg.lighting:
+        wxb, wxsb, wyb, wysb, wzb, wzsb = (
+            rep(rayf_ref[0, c]) for c in range(6, 12))
     hitb = rep(rayi_ref[0, 1]) != 0
 
     subl = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 0)
@@ -352,6 +476,16 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                            jnp.take_along_axis(h0, xm1, axis=-1))
         return g0 + fx * (g1 - g0)
 
+    def gather_lane(wref, z, r, xl):
+        """Raw window-row gather at full-window lane indices ``xl``."""
+        h0 = jnp.broadcast_to(wref[0, z, r, :].reshape(1, 128), (KS, 128))
+        if WC == 128:
+            return jnp.take_along_axis(h0, xl, axis=-1)
+        h1 = jnp.broadcast_to(wref[1, z, r, :].reshape(1, 128), (KS, 128))
+        lm = jnp.bitwise_and(xl, 127)
+        return jnp.where(xl >= 128, jnp.take_along_axis(h1, lm, axis=-1),
+                         jnp.take_along_axis(h0, lm, axis=-1))
+
     def slab_body(j, carry):
         if cfg.grad_mode:
             rr, gg, bb, ww, pref, eac, fac, ovf = carry
@@ -374,11 +508,16 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
             # window origin from live rays' clipped corner extremes at the
             # interval endpoints (coords are affine in the step index, so
             # endpoint extremes bound every step in between)
-            def ext(base, step_, n_real):
+            def ext(base, step_, n_real, margin=None):
                 e1 = base + step_ * lof
                 e2 = base + step_ * hif
-                lo_f = jnp.floor(jnp.minimum(e1, e2))
-                hi_f = jnp.floor(jnp.maximum(e1, e2)) + 1.0
+                mn_e = jnp.minimum(e1, e2)
+                mx_e = jnp.maximum(e1, e2)
+                if margin is not None:  # lighting: tap footprints widen
+                    mn_e = mn_e - margin
+                    mx_e = mx_e + margin
+                lo_f = jnp.floor(mn_e)
+                hi_f = jnp.floor(mx_e) + 1.0
                 lo_i = jnp.clip(
                     jnp.clip(lo_f, -_BIG, _BIG).astype(jnp.int32), 0, n_real - 1)
                 hi_i = jnp.clip(
@@ -387,8 +526,12 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                 mx = jnp.max(jnp.where(live, hi_i, jnp.int32(-1)))
                 return mn, mx
 
-            ymn, ymx = ext(y0v, ysv, H)
-            xmn, xmx = ext(x0v, xsv, W)
+            if cfg.lighting:
+                ymn, ymx = ext(y0v, ysv, H, off_rw)
+                xmn, xmx = ext(x0v, xsv, W, off_ln)
+            else:
+                ymn, ymx = ext(y0v, ysv, H)
+                xmn, xmx = ext(x0v, xsv, W)
 
             y0w = jnp.clip((ymn // 8) * 8, 0, cfg.hp - WR)
             y0w = pl.multiple_of(y0w, 8)
@@ -400,15 +543,38 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
 
             nseg = WC // 128
             copies = []
-            for seg in range(nseg):
-                xs = pl.multiple_of(x0w + seg * 128, 128)
-                copies.append(pltpu.make_async_copy(
-                    em_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(xs, 128)],
-                    wem.at[seg], sems.at[seg]))
-                if not cfg.ab_aliased:
+            if cfg.lighting:
+                # 4-slice emission window (s-1..s+2): the sweep-axis OTF
+                # gradient taps reach one slice either side of the pair
+                zs0 = jnp.clip(s - 1, 0, D - 4)
+                for seg in range(nseg):
+                    xs = pl.multiple_of(x0w + seg * 128, 128)
+                    for jz in range(4):
+                        copies.append(pltpu.make_async_copy(
+                            em_ref.at[zs0 + jz, pl.ds(y0w, WR),
+                                      pl.ds(xs, 128)],
+                            wem.at[seg, jz], sems.at[seg * 4 + jz]))
+                    if not cfg.ab_aliased:
+                        copies.append(pltpu.make_async_copy(
+                            ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
+                                      pl.ds(xs, 128)],
+                            wab.at[seg], sems.at[8 + seg]))
+                    if not cfg.re_aliased:
+                        copies.append(pltpu.make_async_copy(
+                            re_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
+                                      pl.ds(xs, 128)],
+                            wre.at[seg], sems.at[10 + seg]))
+            else:
+                zs0 = None
+                for seg in range(nseg):
+                    xs = pl.multiple_of(x0w + seg * 128, 128)
                     copies.append(pltpu.make_async_copy(
-                        ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(xs, 128)],
-                        wab.at[seg], sems.at[2 + seg]))
+                        em_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(xs, 128)],
+                        wem.at[seg], sems.at[seg]))
+                    if not cfg.ab_aliased:
+                        copies.append(pltpu.make_async_copy(
+                            ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR), pl.ds(xs, 128)],
+                            wab.at[seg], sems.at[2 + seg]))
             for cp in copies:
                 cp.start()
             for cp in copies:
@@ -473,6 +639,178 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                 fy1 = 1.0 - fy
 
                 zero = jnp.zeros((KS, 128), jnp.float32)
+
+                if cfg.lighting:
+                    # ---- HG-LUT shading march step (reference
+                    # volumeRender_kernel.cu:308-353, 435-493): main fetch
+                    # + 6 on-the-fly central-difference taps + per-light
+                    # angle triple -> illumination LUT ----
+                    fy1 = 1.0 - fy
+
+                    def tapz(uu):
+                        zf_ = jnp.floor(uu)
+                        fz_ = uu - zf_
+                        zi_ = jnp.clip(zf_, -_BIG, _BIG).astype(jnp.int32)
+                        return (jnp.clip(zi_, 0, D - 1),
+                                jnp.clip(zi_ + 1, 0, D - 1), fz_)
+
+                    zp0, zp1, fzp = tapz(u + off_u)
+                    zq0, zq1, fzq = tapz(u - off_u)
+
+                    def tapy(yy):
+                        yf_ = jnp.floor(yy)
+                        fy_ = yy - yf_
+                        yi_ = jnp.clip(yf_, -_BIG, _BIG).astype(jnp.int32)
+                        r0 = jnp.clip(jnp.clip(yi_, 0, H - 1) - y0w, 0, WR - 1)
+                        r1 = jnp.clip(jnp.clip(yi_ + 1, 0, H - 1) - y0w,
+                                      0, WR - 1)
+                        return r0, r1, fy_
+
+                    wyp0, wyp1, fyp = tapy(y + off_rw)
+                    wym0, wym1, fym = tapy(y - off_rw)
+
+                    def tapx(xx):
+                        xf_ = jnp.floor(xx)
+                        fx_ = xx - xf_
+                        xi_ = jnp.clip(xf_, -_BIG, _BIG).astype(jnp.int32)
+                        return xi_ - xi, fx_  # corner shift vs main: 0/+-1
+
+                    dxp, fxp = tapx(x + off_ln)
+                    dxm, fxm = tapx(x - off_ln)
+                    dxp0 = dxp == 0
+                    dxm0 = dxm == 0
+
+                    xlc = [jnp.clip(jnp.clip(xi + m, 0, W - 1) - x0w,
+                                    0, WC - 1) for m in (-1, 0, 1, 2)]
+
+                    def row_body_lit(r, accs):
+                        (em_a, ab_a, re_a, txp, txm, typ, tym,
+                         tzp, tzm) = accs
+                        yfac = (jnp.where(wy0 == r, fy1, 0.0)
+                                + jnp.where(wy1 == r, fy, 0.0))
+                        yfp = (jnp.where(wyp0 == r, 1.0 - fyp, 0.0)
+                               + jnp.where(wyp1 == r, fyp, 0.0))
+                        yfm = (jnp.where(wym0 == r, 1.0 - fym, 0.0)
+                               + jnp.where(wym1 == r, fym, 0.0))
+                        for jz in range(4):
+                            zab = zs0 + jz
+                            zfj = (jnp.where(z0 == zab, 1.0 - fz, 0.0)
+                                   + jnp.where(z1 == zab, fz, 0.0))
+                            zfpj = (jnp.where(zp0 == zab, 1.0 - fzp, 0.0)
+                                    + jnp.where(zp1 == zab, fzp, 0.0))
+                            zfqj = (jnp.where(zq0 == zab, 1.0 - fzq, 0.0)
+                                    + jnp.where(zq1 == zab, fzq, 0.0))
+                            c = [gather_lane(wem, jz, r, xl) for xl in xlc]
+                            xv = c[1] + fx * (c[2] - c[1])
+                            xvp = jnp.where(dxp0,
+                                            c[1] + fxp * (c[2] - c[1]),
+                                            c[2] + fxp * (c[3] - c[2]))
+                            xvm = jnp.where(dxm0,
+                                            c[1] + fxm * (c[2] - c[1]),
+                                            c[0] + fxm * (c[1] - c[0]))
+                            em_a = em_a + xv * yfac * zfj
+                            txp = txp + xvp * yfac * zfj
+                            txm = txm + xvm * yfac * zfj
+                            typ = typ + xv * yfp * zfj
+                            tym = tym + xv * yfm * zfj
+                            tzp = tzp + xv * yfac * zfpj
+                            tzm = tzm + xv * yfac * zfqj
+                        for z in (0, 1):
+                            w2 = yfac * zfac[z]
+                            if not cfg.ab_aliased:
+                                ab_a = ab_a + gather_row(
+                                    wab, z, r, xm0, xm1, xhi0, xhi1, fx) * w2
+                            if not cfg.re_aliased:
+                                re_a = re_a + gather_row(
+                                    wre, z, r, xm0, xm1, xhi0, xhi1, fx) * w2
+                        return (em_a, ab_a, re_a, txp, txm, typ, tym,
+                                tzp, tzm)
+
+                    (em_s, ab_s, re_s, t_xp, t_xm, t_yp, t_ym, t_zp,
+                     t_zm) = jax.lax.fori_loop(
+                        0, n_rows, row_body_lit, (zero,) * 9)
+                    if cfg.ab_aliased:
+                        ab_s = em_s
+                    if cfg.re_aliased:
+                        re_s = em_s
+
+                    alpha = 1.0 - jnp.exp(-(fab * ab_s) * tstep)
+                    aq = jnp.where(posm, alpha, 0.0)
+                    p_incl = scan_mul(1.0 - aq)
+                    p_excl = jnp.where(subl >= 8,
+                                       pltpu.roll(p_incl, 8, axis=0), 1.0)
+                    w_before = 1.0 - (1.0 - rep(ww)) * p_excl
+                    over = jnp.where(w_before > thr, jnp.int32(1),
+                                     jnp.int32(0))
+                    act = posm & (scan_or(over) == 0)
+                    t_k = (1.0 - rep(ww)) * p_excl
+
+                    # world-axis gradient from the (sweep, row, lane) tap
+                    # pairs (roles depend on the sweep axis)
+                    diffs = {0: (t_zp - t_zm) * 0.5,
+                             1: (t_yp - t_ym) * 0.5,
+                             2: (t_xp - t_xm) * 0.5}
+                    roles = _AXIS_SETUP[cfg.axis][1]
+                    comp = {roles[i]: diffs[i] for i in range(3)}
+                    gxw, gyw, gzw = comp["x"], comp["y"], comp["z"]
+                    g2 = gxw * gxw + gyw * gyw + gzw * gzw
+                    inv_len = jnp.where(
+                        g2 > _GRAD_EPS2,
+                        jax.lax.rsqrt(jnp.where(g2 > _GRAD_EPS2, g2, 1.0)),
+                        0.0)
+                    nx = gxw * (-inv_len)
+                    ny = gyw * (-inv_len)
+                    nz = gzw * (-inv_len)
+
+                    pxw = wxb + wxsb * kb
+                    pyw = wyb + wysb * kb
+                    pzw = wzb + wzsb * kb
+                    lix = ogx - pxw
+                    liy = ogy - pyw
+                    liz = ogz - pzw
+                    dot_li_n = lix * nx + liy * ny + liz * nz
+                    lipx = lix - dot_li_n * nx
+                    lipy = liy - dot_li_n * ny
+                    lipz = liz - dot_li_n * nz
+                    reflection = f_re * re_s
+
+                    inv_pi = jnp.float32(1.0 / _PI)
+                    shade_r = zero
+                    shade_g = zero
+                    shade_b = zero
+                    for il in range(cfg.n_lights):
+                        base = 14 + 6 * il
+                        lox = consts_ref[base] - pxw
+                        loy = consts_ref[base + 1] - pyw
+                        loz = consts_ref[base + 2] - pzw
+                        aang = _vangle(nx, ny, nz, lix, liy, liz) * inv_pi
+                        bang = _vangle(nx, ny, nz, lox, loy, loz) * inv_pi
+                        dot_lo_n = lox * nx + loy * ny + loz * nz
+                        lopx = lox - dot_lo_n * nx
+                        lopy = loy - dot_lo_n * ny
+                        lopz = loz - dot_lo_n * nz
+                        gang = _vangle(lipx, lipy, lipz,
+                                       lopx, lopy, lopz) * inv_pi
+                        lutv = _lut_fetch(cfg, lut_ref, act,
+                                          aang, bang, gang)
+                        contrib = reflection * lutv
+                        shade_r = shade_r + contrib * consts_ref[base + 3]
+                        shade_g = shade_g + contrib * consts_ref[base + 4]
+                        shade_b = shade_b + contrib * consts_ref[base + 5]
+
+                    em_term = fem * em_s * tstep
+                    ta = t_k * alpha
+                    cr = jnp.where(act, ta * (em_term * col_r + shade_r), 0.0)
+                    cg = jnp.where(act, ta * (em_term * col_g + shade_g), 0.0)
+                    cb = jnp.where(act, ta * (em_term * col_b + shade_b), 0.0)
+                    rr = rr + scan_add(cr)[KS - 8:KS, :]
+                    gg = gg + scan_add(cg)[KS - 8:KS, :]
+                    bb = bb + scan_add(cb)[KS - 8:KS, :]
+
+                    aq2 = jnp.where(act, alpha, 0.0)
+                    p_full = scan_mul(1.0 - aq2)[KS - 8:KS, :]
+                    new_ww = 1.0 - (1.0 - ww) * p_full
+                    return (rr, gg, bb, new_ww)
 
                 def row_body(r, accs):
                     em_acc, ab_acc = accs
@@ -622,7 +960,7 @@ def _untile_image(tiles: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
 
 def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
             axis: str, ascending: bool, wr: int, interpret: bool,
-            grad_inputs=None, scatter: bool = False):
+            grad_inputs=None, scatter: bool = False, band=None):
     """Shared setup + kernel launch (forward / grad-replay / full backward).
 
     grad_inputs=None: forward; returns (image, ovf_any, dir_ok).
@@ -633,13 +971,23 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     (d_em_grid, d_ab_grid_or_None, d_fem, d_fab, d_color, ovf_any,
     dir_ok). The adjoint of the CUDA march (reference
     volumeRender_kernel.cu:365-507) at kernel speed.
+    band=(y0, n_rows): render only image rows [y0, y0+n_rows) — the
+    rays-DP shard unit (y0 may be traced, e.g. axis_index * n_rows from
+    inside shard_map; n_rows must be static and TILE-aligned). Band-mode
+    grad_inputs are band-sized; the returned image keeps all n_rows
+    (pad rows render as misses). Forward-band returns shape
+    (n_rows, W, 3).
     """
     perm, roles = _AXIS_SETUP[axis]
+    lighting = scene.has_lighting
 
     em = jnp.transpose(scene.emission.data, perm)
     ab = None
     if not scene.absorption_aliased:
         ab = jnp.transpose(scene.absorption.data, perm)
+    re = None
+    if lighting and not scene.reflection_aliased:
+        re = jnp.transpose(scene.reflection.data, perm)
 
     D, H, W = em.shape
     HP, WP = _round_up(H, 8), _round_up(W, 128)
@@ -649,13 +997,21 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         em = jnp.pad(em, ((0, 0), (0, HP - H), (0, WP - W)))
         if ab is not None:
             ab = jnp.pad(ab, ((0, 0), (0, HP - H), (0, WP - W)))
+        if re is not None:
+            re = jnp.pad(re, ((0, 0), (0, HP - H), (0, WP - W)))
 
-    # ---- rays over the TILE-padded image ----
+    # ---- rays over the TILE-padded image (or one rays-DP band) ----
     w_img, h_img = opts.width, opts.height
-    wp_img, hp_img = _round_up(w_img, TILE), _round_up(h_img, TILE)
+    wp_img = _round_up(w_img, TILE)
+    if band is None:
+        hp_img = _round_up(h_img, TILE)
+        y_base = 0
+    else:
+        y_base, hp_img = band
+        assert hp_img % TILE == 0
     py, px = jnp.mgrid[0:hp_img, 0:wp_img]
     px = _tile_image(px.astype(jnp.int32))
-    py = _tile_image(py.astype(jnp.int32))
+    py = _tile_image(py.astype(jnp.int32)) + jnp.int32(y_base)
     in_image = (px < w_img) & (py < h_img)
 
     x_vec, y_vec, z_vec = scene.camera.basis()
@@ -708,21 +1064,63 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     sgn = 1.0 if ascending else -1.0
     dir_ok = jnp.all(~hit | (av * sgn >= _A_MIN))
 
-    rayf = jnp.stack([x0v, xsv, y0v, ysv, u0v, av], axis=1)  # (n_tiles,6,8,128)
+    ray_ch = [x0v, xsv, y0v, ysv, u0v, av]
+    if lighting:
+        shp = px.shape
+        ray_ch += [jnp.broadcast_to(v, shp) for v in
+                   (pos0.x, step.x, pos0.y, step.y, pos0.z, step.z)]
+    rayf = jnp.stack(ray_ch, axis=1)  # (n_tiles, 6 or 12, 8, 128)
     rayi = jnp.stack([icap, hit.astype(jnp.int32)], axis=1)
 
     s = scene.settings
-    consts = jnp.stack([
+    const_list = [
         tstep, s.factor_emission, s.factor_absorption,
         s.color[0], s.color[1], s.color[2], s.opacity_threshold,
         jnp.float32(0),
-    ])
+    ]
+    n_lights = 0
+    lut2 = None
+    lut_l = lut_segs = 0
+    if lighting:
+        # tap offsets (voxel units) per (sweep, row, lane) role: world
+        # gradient_step scaled by each role's voxels-per-world-unit
+        gs_world = {"x": opts.gradient_step[0], "y": opts.gradient_step[1],
+                    "z": opts.gradient_step[2]}
+        offs = []
+        for comp in roles:
+            lo_, e_ = span[comp]
+            offs.append(jnp.float32(gs_world[comp]) * n_of_role[comp] / e_)
+        wlc = scene.light_colors * scene.settings.color[None, :]
+        n_lights = int(scene.light_positions.shape[0])
+        const_list[7] = s.factor_reflection
+        const_list += [origin.x, origin.y, origin.z, *offs]
+        for il in range(n_lights):
+            const_list += [scene.light_positions[il, 0],
+                           scene.light_positions[il, 1],
+                           scene.light_positions[il, 2],
+                           wlc[il, 0], wlc[il, 1], wlc[il, 2]]
+
+        # illumination LUT packed as (L * SEGS, 128): row b*SEGS+seg holds
+        # lanes of slice b's (g, a)-flattened plane (see _lut_fetch)
+        lut = scene.illumination
+        lut_l = int(lut.shape[0])
+        lut_segs = max(1, -(-(lut_l * lut_l) // 128))
+        lutT = jnp.transpose(lut, (1, 0, 2)).reshape(lut_l, lut_l * lut_l)
+        pad_l = lut_segs * 128 - lut_l * lut_l
+        if pad_l:
+            lutT = jnp.pad(lutT, ((0, 0), (0, pad_l)))
+        lut2 = lutT.reshape(lut_l * lut_segs, 128)
+    consts = jnp.stack(const_list)
 
     n_tiles = rayf.shape[0]
     grad_mode = grad_inputs is not None
     cfg = _KCfg(d=D, h=H, w=W, hp=HP, wp=WP, wr=WR, wc=WC,
                 ascending=ascending, ab_aliased=scene.absorption_aliased,
-                n_steps=opts.n_steps, grad_mode=grad_mode, scatter=scatter)
+                n_steps=opts.n_steps, grad_mode=grad_mode, scatter=scatter,
+                lighting=lighting, n_lights=n_lights, lut_l=lut_l,
+                lut_segs=lut_segs,
+                re_aliased=(scene.reflection_aliased if lighting else True),
+                axis=axis)
 
     if grad_mode:
         g_img, out_img = grad_inputs
@@ -730,7 +1128,7 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
 
         def pad_tile(a2d):
             a = jnp.zeros((hp_img, wp_img), jnp.float32)
-            a = a.at[:h_img, :w_img].set(a2d)
+            a = a.at[:a2d.shape[0], :w_img].set(a2d)
             return _tile_image(a)
 
         gcol_t = pad_tile(g_img[..., 0] * colv[0] + g_img[..., 1] * colv[1]
@@ -742,11 +1140,15 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
 
     has_ab = ab is not None
 
+    has_re = re is not None
+
     def kernel(*refs):
         it = iter(refs)
         rayf_r, rayi_r, em_r = next(it), next(it), next(it)
         ab_r = next(it) if has_ab else None
         consts_r, gt_r = next(it), next(it)
+        lut_r = next(it) if lighting else None
+        re_r = next(it) if has_re else None
         if scatter:
             next(it)  # gem seed (aliased to the gem output; RMW uses out)
             if has_ab:
@@ -755,13 +1157,15 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         gem_o = next(it) if scatter else None
         gab_o = next(it) if (scatter and has_ab) else None
         wem_s, wab_s, sems_s = next(it), next(it), next(it)
+        wre_s = next(it) if lighting else None
         gwin_s = next(it) if scatter else None
         rmw_s = next(it) if scatter else None
         rsem_s = next(it) if scatter else None
         _march_kernel(cfg, rayf_r, rayi_r, em_r, ab_r, consts_r, gt_r,
                       out_r, ovf_r, wem_s, wab_s, sems_s,
                       gem_ref=gem_o, gab_ref=gab_o, gwin=gwin_s,
-                      rmw=rmw_s, rsem=rsem_s)
+                      rmw=rmw_s, rsem=rsem_s,
+                      lut_ref=lut_r, re_ref=re_r, wre=wre_s)
 
     ab_in = [ab] if has_ab else []
     ab_spec = [pl.BlockSpec(memory_space=pl.ANY)] if has_ab else []
@@ -769,9 +1173,10 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     wab_scratch = (pltpu.VMEM((nseg, 2, WR, 128), jnp.float32) if has_ab
                    else pltpu.VMEM((1, 1, 1, 128), jnp.float32))
     n_out_ch = 6 if grad_mode else 4
+    n_ray_ch = 12 if lighting else 6
 
     in_specs = [
-        pl.BlockSpec((1, 6, 8, 128), lambda t: (t, 0, 0, 0),
+        pl.BlockSpec((1, n_ray_ch, 8, 128), lambda t: (t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -781,6 +1186,13 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    lit_in = []
+    if lighting:
+        lit_in.append(lut2)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if has_re:
+            lit_in.append(re)
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     out_specs = [
         pl.BlockSpec((1, n_out_ch, 8, 128), lambda t: (t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -792,10 +1204,14 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         jax.ShapeDtypeStruct((n_tiles, 1, 8, 128), jnp.int32),
     ]
     scratch_shapes = [
-        pltpu.VMEM((nseg, 2, WR, 128), jnp.float32),
+        pltpu.VMEM((nseg, 4 if lighting else 2, WR, 128), jnp.float32),
         wab_scratch,
-        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((12 if lighting else 4,)),
     ]
+    if lighting:
+        scratch_shapes.append(
+            pltpu.VMEM((nseg, 2, WR, 128), jnp.float32) if has_re
+            else pltpu.VMEM((1, 1, 1, 128), jnp.float32))
     grad_in = []
     aliases = {}
     if scatter:
@@ -827,14 +1243,15 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         scratch_shapes=scratch_shapes,
         input_output_aliases=aliases,
         interpret=interpret,
-    )(rayf, rayi, em, *ab_in, consts, gt, *grad_in)
+    )(rayf, rayi, em, *ab_in, consts, gt, *lit_in, *grad_in)
     out, ovf = outs[0], outs[1]
 
     ovf_any = jnp.any(ovf[:, :, 0, 0] != 0)
     if grad_mode:
         ts = jnp.float32(opts.tstep)
-        e_img = _untile_image(out[:, 4], hp_img, wp_img)[:h_img, :w_img]
-        f_img = _untile_image(out[:, 5], hp_img, wp_img)[:h_img, :w_img]
+        rows_out = h_img if band is None else hp_img
+        e_img = _untile_image(out[:, 4], hp_img, wp_img)[:rows_out, :w_img]
+        f_img = _untile_image(out[:, 5], hp_img, wp_img)[:rows_out, :w_img]
         gcol_img = (g_img[..., 0] * colv[0] + g_img[..., 1] * colv[1]
                     + g_img[..., 2] * colv[2])
         d_fem = ts * jnp.sum(gcol_img * e_img)
@@ -850,9 +1267,10 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
                     ovf_any, dir_ok)
         return d_fem, d_fab, d_color, ovf_any, dir_ok
 
-    img_r = _untile_image(out[:, 0], hp_img, wp_img)[:h_img, :w_img]
-    img_g = _untile_image(out[:, 1], hp_img, wp_img)[:h_img, :w_img]
-    img_b = _untile_image(out[:, 2], hp_img, wp_img)[:h_img, :w_img]
+    rows_out = h_img if band is None else hp_img
+    img_r = _untile_image(out[:, 0], hp_img, wp_img)[:rows_out, :w_img]
+    img_g = _untile_image(out[:, 1], hp_img, wp_img)[:rows_out, :w_img]
+    img_b = _untile_image(out[:, 2], hp_img, wp_img)[:rows_out, :w_img]
     image = jnp.stack([img_r, img_g, img_b], axis=-1)
     return image, ovf_any, dir_ok
 
@@ -902,16 +1320,44 @@ def choose_sweep_axis(scene: Scene) -> Tuple[str, bool]:
     return axis, ascending
 
 
-def pallas_supported(scene: Scene, opts: RenderOptions) -> bool:
-    """Static-shape / feature eligibility for the Pallas fast path."""
-    return unsupported_reason(scene, opts) is None
+def pallas_supported(scene: Scene, opts: RenderOptions,
+                     grads: bool = False) -> bool:
+    """Static-shape / feature eligibility for the Pallas fast path.
+
+    ``grads=True`` asks about the gradient modes (transfer_grads_fast /
+    voxel_grads_fast), which do not cover lighting yet.
+    """
+    return unsupported_reason(scene, opts, grads=grads) is None
 
 
-def unsupported_reason(scene: Scene, opts: RenderOptions) -> Optional[str]:
+def unsupported_reason(scene: Scene, opts: RenderOptions,
+                       grads: bool = False) -> Optional[str]:
     """None when the kernel can serve the scene, else a short reason."""
     if scene.has_lighting:
-        return "lighting (HG-LUT shading rides the flat path for now)"
-    for vol in (scene.emission, scene.absorption):
+        if grads:
+            return ("lighting backward (gradients through HG-LUT shading "
+                    "ride the replay path)")
+        if scene.has_gradient_volumes:
+            return ("lookup-mode gradient volumes (the kernel computes "
+                    "on-the-fly central differences only)")
+        if scene.illumination is None:
+            return "lighting without an illumination LUT"
+        ls = scene.illumination.shape
+        if len(ls) != 3 or ls[0] != ls[1] or ls[1] != ls[2]:
+            return f"non-cubic illumination LUT {ls}"
+        if int(np.prod(ls)) * 4 > 4 * 2 ** 20:
+            return f"illumination LUT {ls} exceeds the 4 MiB VMEM budget"
+        if min(scene.emission.data.shape) < 4:
+            return "volume too small for the 4-slice tap window"
+        # OTF tap offsets must stay within one voxel so the sweep-axis
+        # taps fit the (s-1..s+2) window
+        ext_ = [opts.boxmax[i] - opts.boxmin[i] for i in range(3)]
+        w_, h_, d_ = scene.emission.extent_xyz
+        for gs_, n_, e_ in zip(opts.gradient_step, (w_, h_, d_), ext_):
+            if gs_ * n_ / e_ > 1.0 + 1e-6:
+                return "gradient tap offset exceeds one voxel"
+    for vol in (scene.emission, scene.absorption,
+                scene.reflection if scene.has_lighting else None):
         if vol is None:
             continue
         d = vol.data.shape
@@ -920,6 +1366,9 @@ def unsupported_reason(scene: Scene, opts: RenderOptions) -> Optional[str]:
     if not scene.absorption_aliased:
         if scene.absorption.data.shape != scene.emission.data.shape:
             return "emission/absorption shape mismatch"
+    if scene.has_lighting and not scene.reflection_aliased:
+        if scene.reflection.data.shape != scene.emission.data.shape:
+            return "emission/reflection shape mismatch"
     return None
 
 
@@ -1028,7 +1477,7 @@ def transfer_grads_fast(
             "color": d["color"],
         }
 
-    reason = unsupported_reason(scene, opts)
+    reason = unsupported_reason(scene, opts, grads=True)
     if reason is not None:
         _note_fallback(reason)
         return fallback()
@@ -1104,7 +1553,7 @@ def voxel_grads_fast(
         img, vjp_fn = _jax.vjp(forward, diff)
         return img, vjp_fn(jnp.asarray(g, jnp.float32))[0]
 
-    reason = unsupported_reason(scene, opts)
+    reason = unsupported_reason(scene, opts, grads=True)
     if reason is not None:
         _note_fallback(reason)
         return fallback()
