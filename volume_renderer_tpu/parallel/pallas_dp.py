@@ -31,7 +31,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from volume_renderer_tpu.models.scene import RenderOptions, Scene
@@ -72,6 +71,7 @@ def _forward_sharded(scene: Scene, opts: RenderOptions, cam_off,
     img, ovf, dir_ok = shard_map(
         shard_fn, mesh=mesh, in_specs=(P(), P()),
         out_specs=(P(axis_name, None, None), P(axis_name), P(axis_name)),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
     )(scene, jnp.float32(cam_off))
     return img[: opts.height], jnp.any(ovf), jnp.all(dir_ok)
 
@@ -107,6 +107,7 @@ def _voxel_grads_sharded(scene: Scene, opts: RenderOptions, cam_off,
         in_specs=(P(), P(), P(axis_name, None, None),
                   P(axis_name, None, None)),
         out_specs=(P(), P(), P(), P(), P(), P(axis_name), P(axis_name)),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
     )(scene, jnp.float32(cam_off), gp, op)
     d_em, d_ab, d_fem, d_fab, d_col, ovf, dir_ok = outs
     return d_em, d_ab, d_fem, d_fab, d_col, jnp.any(ovf), jnp.all(dir_ok)
