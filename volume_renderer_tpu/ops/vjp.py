@@ -48,11 +48,19 @@ Diff = Dict[str, Any]
 _PLACEHOLDER = object()
 
 
-def split_scene(scene: Scene) -> Tuple[Diff, Scene]:
+def split_scene(scene: Scene, with_camera: bool = False) -> Tuple[Diff, Scene]:
     """Separate the differentiable leaves from the (small) static template.
 
     Aliased absorption/reflection (None in the Scene) have no leaves of
     their own — their gradients flow into the emission grid.
+
+    ``with_camera=True`` additionally exposes the camera rotation matrix
+    as a differentiable leaf: the fused backward then also replays the
+    pose chain (ray origin/direction/entry point are closed-form in the
+    rotation; SURVEY section 7.4). Focal length and object distance are
+    static fields of the Camera pytree by design — pose optimization in
+    this framework is over the rotation (as in the scan-path camera
+    gradients, tests/test_camera_grad.py).
     """
     diff: Diff = {
         "emission": scene.emission.data,
@@ -61,6 +69,8 @@ def split_scene(scene: Scene) -> Tuple[Diff, Scene]:
         "factor_reflection": scene.settings.factor_reflection,
         "color": scene.settings.color,
     }
+    if with_camera:
+        diff["camera_rotation"] = scene.camera.rotation
     if not scene.absorption_aliased:
         diff["absorption"] = scene.absorption.data
     if not scene.reflection_aliased:
@@ -107,6 +117,9 @@ def merge_scene(template: Scene, diff: Diff) -> Scene:
         kwargs["reflection"] = template.reflection.replace(data=diff["reflection"])
     if "light_colors" in diff:
         kwargs["light_colors"] = diff["light_colors"]
+    if "camera_rotation" in diff:
+        kwargs["camera"] = template.camera.replace(
+            rotation=diff["camera_rotation"])
     if "gradient_x" in diff:
         kwargs["gradient_x"] = template.gradient_x.replace(data=diff["gradient_x"])
         kwargs["gradient_y"] = template.gradient_y.replace(data=diff["gradient_y"])
@@ -168,6 +181,7 @@ def render_fused(
     y_offset=0.0,
     n_rows: Optional[int] = None,
     early_exit: bool = True,
+    camera_grads: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused render: forward = early-exit while march,
     backward = O(1)-memory replay. Drop-in for render_forward under grad.
@@ -177,8 +191,12 @@ def render_fused(
     (psum of gradients): per-shard data-dependent trip counts unbalance
     the replicas, which at best wastes the fast devices and on the XLA
     CPU simulator can starve the rendezvous into a deadlock.
+
+    camera_grads=True additionally differentiates the camera rotation
+    (O(1)-memory pose gradients through the replay; the scan-path
+    equivalent in tests/test_camera_grad.py rematerializes every step).
     """
-    diff, template = split_scene(scene)
+    diff, template = split_scene(scene, with_camera=camera_grads)
     return _render_fused(
         diff,
         template,
@@ -213,10 +231,25 @@ def _fused_fwd(diff, template, y_offset, opts, cam_off, n_rows, early_exit):
 def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
     diff, template, y_offset, out = residuals
     scene = merge_scene(template, diff)
+    cam_grads = "camera_rotation" in diff
 
     consts, origin, pos0, step, tnear, tfar, hit = _init_rays(
         scene, opts, cam_off, y_offset=y_offset.astype(jnp.int32), n_rows=n_rows
     )
+    if cam_grads:
+        # closed-form pose chain: pos_k = pos0 + k*step with (pos0, step,
+        # origin) affine-in-rotation through ray generation + the box
+        # clip; the replay accumulates their cotangents and one geometry
+        # VJP at the end pulls them back to the rotation matrix
+        def geom(rot):
+            sc = scene.replace(camera=scene.camera.replace(rotation=rot))
+            _, o_, p0_, st_, _, _, _ = _init_rays(
+                sc, opts, cam_off, y_offset=y_offset.astype(jnp.int32),
+                n_rows=n_rows)
+            return p0_, st_, o_
+
+        (pos0, step, origin), geom_vjp = jax.vjp(
+            geom, diff["camera_rotation"])
     params = core.params_of(scene, consts)
     lighting = scene.has_lighting
     lookup = scene.has_gradient_volumes
@@ -255,16 +288,29 @@ def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
         acc0["gradient_z"] = jnp.zeros(scene.gradient_z.data.size, jnp.float32) + vzero
 
     zeros = jnp.zeros_like(tnear)
+    if cam_grads:
+        zf3 = F3(zeros + vzero, zeros + vzero, zeros + vzero)
+        acc0["d_pos0"] = zf3
+        acc0["d_step"] = zf3
+        acc0["d_origin"] = zf3
 
     def body(carry):
         i, sum_w, t, pos, active, prefix_dot, acc = carry
 
         taps = core.gather_taps(scene, consts, pos)
 
-        def f(taps_, params_):
-            return core.step_from_taps(scene, consts, params_, taps_, pos, origin)
+        if cam_grads:
+            def f(taps_, params_, pos_, origin_):
+                return core.step_from_taps(
+                    scene, consts, params_, taps_, pos_, origin_)
 
-        (s_rgb, alpha), vjp_fn = jax.vjp(f, taps, params)
+            (s_rgb, alpha), vjp_fn = jax.vjp(f, taps, params, pos, origin)
+        else:
+            def f(taps_, params_):
+                return core.step_from_taps(
+                    scene, consts, params_, taps_, pos, origin)
+
+            (s_rgb, alpha), vjp_fn = jax.vjp(f, taps, params)
 
         tr = 1.0 - sum_w
         contrib_dot = tr * (g3.x * s_rgb.x + g3.y * s_rgb.y + g3.z * s_rgb.z)
@@ -284,13 +330,28 @@ def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
             0.0,
         )
 
-        d_taps, d_params = vjp_fn((d_s, d_alpha))
+        if cam_grads:
+            d_taps, d_params, d_pos_dir, d_origin_dir = vjp_fn((d_s, d_alpha))
+            # tap values chain to the position through the trilinear
+            # fractional weights (grids are closed over: only the
+            # coordinate cotangent is materialized — no scatter here)
+            _, tap_vjp = jax.vjp(
+                lambda p: core.gather_taps(scene, consts, p), pos)
+            (d_pos_tap,) = tap_vjp(d_taps)
+            d_pos_k = d_pos_dir + d_pos_tap
+        else:
+            d_taps, d_params = vjp_fn((d_s, d_alpha))
 
         # ---- scatter tap cotangents into the grids (aliased roles
         # accumulate into the emission grid with the emission meta) ----
         sample_pos = core.to_sample_coords(pos, consts)
         em_meta = _scatter_meta(scene.emission.data.shape, sample_pos)
         acc = dict(acc)
+        if cam_grads:
+            kf = i.astype(jnp.float32)
+            acc["d_pos0"] = acc["d_pos0"] + d_pos_k
+            acc["d_step"] = acc["d_step"] + d_pos_k * kf
+            acc["d_origin"] = acc["d_origin"] + d_origin_dir
         acc["emission"] = _scatter_add(acc["emission"], em_meta, d_taps.em)
         if scene.absorption_aliased:
             acc["emission"] = _scatter_add(acc["emission"], em_meta, d_taps.ab)
@@ -366,6 +427,9 @@ def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
         d_diff["gradient_x"] = acc["gradient_x"].reshape(scene.gradient_x.data.shape)
         d_diff["gradient_y"] = acc["gradient_y"].reshape(scene.gradient_y.data.shape)
         d_diff["gradient_z"] = acc["gradient_z"].reshape(scene.gradient_z.data.shape)
+    if cam_grads:
+        (d_diff["camera_rotation"],) = geom_vjp(
+            (acc["d_pos0"], acc["d_step"], acc["d_origin"]))
 
     d_template = jax.tree.map(jnp.zeros_like, template)
     d_y_offset = jnp.zeros_like(residuals[2])
