@@ -20,6 +20,12 @@ from volume_renderer_tpu.models.scene import Scene, RenderSettings, RenderOption
 from volume_renderer_tpu.ops.hg import henyey_greenstein_lut
 from volume_renderer_tpu.ops.oracle import render_oracle
 from volume_renderer_tpu.ops.forward import render_forward
+from volume_renderer_tpu.ops.pallas_march import (
+    render_forward_fast,
+    transfer_grads_fast,
+    voxel_grads_fast,
+)
+from volume_renderer_tpu.ops.vjp import render_fused
 from volume_renderer_tpu.api.renderer import VolumeRenderer, StereoRenderMode
 
 __all__ = [
@@ -34,6 +40,10 @@ __all__ = [
     "henyey_greenstein_lut",
     "render_oracle",
     "render_forward",
+    "render_forward_fast",
+    "render_fused",
+    "transfer_grads_fast",
+    "voxel_grads_fast",
     "VolumeRenderer",
     "StereoRenderMode",
 ]

@@ -106,6 +106,41 @@ def _identity128():
     return (r == c).astype(jnp.float32)
 
 
+def _make_scans(ks: int):
+    """Roll-based inclusive prefix ops over the ``ks // 8`` step groups
+    of a (ks, 128) chunk block (each group is one 8-sublane vreg row).
+
+    Returns (scan_mul, scan_add, scan_or, subl): front-to-back "under"
+    compositing is a prefix product over step transmittances; the
+    per-ray emission sum and the termination flag are a prefix sum / or.
+    ``pltpu.roll(t, sh, axis=0)[i] = t[i - sh]`` shifts earlier steps
+    into place; masking with ``subl >= sh`` keeps the scan exclusive of
+    wrap-around. Unit-tested directly in interpret mode
+    (tests/test_kernel_helpers.py).
+    """
+    subl = jax.lax.broadcasted_iota(jnp.int32, (ks, 128), 0)
+
+    def scan(v, combine, pad):
+        t = v
+        sh = 8
+        while sh < ks:
+            t = combine(t, jnp.where(subl >= sh,
+                                     pltpu.roll(t, sh, axis=0), pad))
+            sh *= 2
+        return t
+
+    def scan_mul(v):
+        return scan(v, jnp.multiply, 1.0)
+
+    def scan_add(v):
+        return scan(v, jnp.add, 0.0)
+
+    def scan_or(v):
+        return scan(v, jnp.bitwise_or, 0)
+
+    return scan_mul, scan_add, scan_or, subl
+
+
 def _mxu_t(a, ident):
     """Transpose a (128, 128) block on the MXU: out[j, i] = a[i, j].
 
@@ -409,33 +444,8 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
             rep(rayf_ref[0, c]) for c in range(6, 12))
     hitb = rep(rayi_ref[0, 1]) != 0
 
-    subl = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 0)
+    scan_mul, scan_add, scan_or, subl = _make_scans(KS)
     kofs = (subl // 8).astype(jnp.float32)  # step offset within chunk
-
-    def scan_mul(v):
-        """Inclusive prefix product over the K step groups (axis-0 rolls)."""
-        t = v
-        sh = 8
-        while sh < KS:
-            t = t * jnp.where(subl >= sh, pltpu.roll(t, sh, axis=0), 1.0)
-            sh *= 2
-        return t
-
-    def scan_add(v):
-        t = v
-        sh = 8
-        while sh < KS:
-            t = t + jnp.where(subl >= sh, pltpu.roll(t, sh, axis=0), 0.0)
-            sh *= 2
-        return t
-
-    def scan_or(v):
-        t = v
-        sh = 8
-        while sh < KS:
-            t = t | jnp.where(subl >= sh, pltpu.roll(t, sh, axis=0), 0)
-            sh *= 2
-        return t
 
     def slab_ranges(s):
         """Widened per-ray step interval [lo, hi) owned by slice pair s."""
