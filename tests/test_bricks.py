@@ -164,3 +164,63 @@ def test_bricked_grads_early_termination(mesh):
             np.asarray(g_brick[key]), np.asarray(g_single[key]),
             rtol=2e-3, atol=2e-6, err_msg=f"gradient mismatch for {key}",
         )
+
+
+class TestBrickedKernelForward:
+    """render_forward_bricked_fast: the Pallas march per brick with the
+    two-phase transmittance relay — matches the single-device render
+    exactly like the XLA bricked path does."""
+
+    def _check(self, scene, n=4, w=32, h=32):
+        import numpy as np
+
+        from volume_renderer_tpu.ops.forward import render_forward
+        from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+        from volume_renderer_tpu.parallel.bricks import (
+            render_forward_bricked_fast,
+        )
+        from volume_renderer_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(n, axis_name="bricks")
+        opts = scene.options(w, h)
+        ref = np.asarray(render_forward(scene, opts))
+        out = np.asarray(render_forward_bricked_fast(scene, opts, mesh=mesh))
+        assert last_fallback_reason() is None
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-4)
+
+    def test_ascending(self):
+        from tests.test_pallas import _scene
+
+        self._check(_scene(vol=16, rot=(0, 0, 0)))
+
+    def test_descending_eight_bricks(self):
+        from tests.test_pallas import _scene
+
+        self._check(_scene(vol=16, rot=(180, 0, 0)), n=8)
+
+    def test_opaque_early_termination(self):
+        from tests.test_pallas import _scene
+
+        scene = _scene(vol=16, rot=(0, 0, 0))
+        scene = scene.replace(absorption=scene.absorption.replace(
+            data=scene.absorption.data * 60.0 + 5.0))
+        self._check(scene)
+
+    def test_non_z_axis_falls_back(self):
+        import numpy as np
+
+        from tests.test_pallas import _scene
+        from volume_renderer_tpu.ops.forward import render_forward
+        from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+        from volume_renderer_tpu.parallel.bricks import (
+            render_forward_bricked_fast,
+        )
+        from volume_renderer_tpu.parallel.sharding import make_mesh
+
+        scene = _scene(vol=16, rot=(0, 90, 0))  # x-principal camera
+        mesh = make_mesh(4, axis_name="bricks")
+        opts = scene.options(16, 16)
+        ref = np.asarray(render_forward(scene, opts))
+        out = np.asarray(render_forward_bricked_fast(scene, opts, mesh=mesh))
+        assert "brick axis" in (last_fallback_reason() or "")
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)

@@ -88,6 +88,12 @@ class _KCfg(NamedTuple):
     lut_segs: int = 0  # 128-lane segments per LUT row (ceil(L^2/128))
     re_aliased: bool = True
     axis: str = "z"    # sweep axis (maps tap pairs to world gradient axes)
+    brick: bool = False  # z-brick segment march: the volume is one
+    # halo-padded local brick, ww seeds from the gt input (entry opacity
+    # from the two-phase transmittance relay, parallel/bricks.py), samples
+    # composite only inside the owned global-z band, and the per-ray exit
+    # opacity is returned alongside the image
+    d_global: int = 0  # global sweep extent (brick mode affine scale)
 
 
 # ---------------------------------------------------------------------------
@@ -429,6 +435,10 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         off_u = consts_ref[11]   # OTF gradient tap offsets, voxel units,
         off_rw = consts_ref[12]  # per (sweep, row, lane) role
         off_ln = consts_ref[13]
+    if cfg.brick:
+        own_lo = consts_ref[8]   # owned global-z band in LOCAL u units
+        own_hi = consts_ref[9]
+        z_off = consts_ref[10]   # local u -> global u offset (integer-valued)
 
     inv_a = jnp.where(hit, 1.0 / jnp.where(hit, av, 1.0), 0.0)
     icap_f = icap.astype(jnp.float32)
@@ -611,10 +621,23 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                 zf = jnp.floor(u)
                 fz = u - zf
                 zi = jnp.clip(zf, -_BIG, _BIG).astype(jnp.int32)
-                z0 = jnp.clip(zi, 0, D - 1)
-                z1 = jnp.clip(zi + 1, 0, D - 1)
+                if cfg.brick:
+                    # clamp in GLOBAL coordinates (the reference's edge
+                    # clamp binds at the volume boundary, not the brick's)
+                    zoi = z_off.astype(jnp.int32)
+                    z0 = jnp.clip(zi + zoi, 0, cfg.d_global - 1) - zoi
+                    z1 = jnp.clip(zi + 1 + zoi, 0, cfg.d_global - 1) - zoi
+                else:
+                    z0 = jnp.clip(zi, 0, D - 1)
+                    z1 = jnp.clip(zi + 1, 0, D - 1)
                 owner = jnp.clip(zi, 0, D - 2) == s
                 posm = hitb & owner & (kb < hib)  # kb >= lob by construction
+                if cfg.brick:
+                    # composite only the owned global-z band (the brick
+                    # ownership cut of parallel/bricks.py: floor((u_g +
+                    # 0.5) / bd) == b, expressed in local u with the edge
+                    # bricks' bounds opened to +-inf by the launcher)
+                    posm = posm & (u + 0.5 >= own_lo) & (u + 0.5 < own_hi)
 
                 y = y0b + ysb * kb
                 yf = jnp.floor(y)
@@ -920,6 +943,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         return jax.lax.cond(any_live, run, lambda c: c, carry)
 
     zero = jnp.zeros((8, 128), jnp.float32)
+    ww0 = gt_ref[0, 0] if cfg.brick else zero  # brick: relay entry opacity
     if cfg.grad_mode:
         rr, gg, bb, ww, pref, eac, fac, ovf = jax.lax.fori_loop(
             0, S, slab_body,
@@ -928,7 +952,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         out_ref[0, 5] = fac
     else:
         rr, gg, bb, ww, ovf = jax.lax.fori_loop(
-            0, S, slab_body, (zero, zero, zero, zero, jnp.int32(0)))
+            0, S, slab_body, (zero, zero, zero, ww0, jnp.int32(0)))
     out_ref[0, 0] = rr
     out_ref[0, 1] = gg
     out_ref[0, 2] = bb
@@ -970,7 +994,8 @@ def _untile_image(tiles: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
 
 def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
             axis: str, ascending: bool, wr: int, interpret: bool,
-            grad_inputs=None, scatter: bool = False, band=None):
+            grad_inputs=None, scatter: bool = False, band=None,
+            brick=None):
     """Shared setup + kernel launch (forward / grad-replay / full backward).
 
     grad_inputs=None: forward; returns (image, ovf_any, dir_ok).
@@ -987,6 +1012,14 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     grad_inputs are band-sized; the returned image keeps all n_rows
     (pad rows render as misses). Forward-band returns shape
     (n_rows, W, 3).
+    brick=(d_global, z_off, own_lo, own_hi, ww0): z-brick segment march
+    for the two-phase transmittance relay (parallel/bricks.py): the
+    scene's volumes are ONE halo-padded local brick, the sweep affine is
+    scaled by the global extent and offset by z_off (traced), samples
+    composite only where local u + 0.5 is in [own_lo, own_hi), and the
+    march seeds from the entry-opacity image ww0 ((H, W), or None for
+    phase 1). Returns (image, exit_opacity_image, ovf_any, dir_ok).
+    Forward lighting-off only; requires axis == "z".
     """
     perm, roles = _AXIS_SETUP[axis]
     lighting = scene.has_lighting
@@ -1054,6 +1087,10 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         "z": (bm.z, jnp.float32(opts.boxmax[2] - opts.boxmin[2])),
     }
     n_of_role = {roles[0]: D, roles[1]: H, roles[2]: W}
+    if brick is not None:
+        # the sweep affine maps to GLOBAL voxel coords (the brick is a
+        # window of the global volume), then shifts into local indices
+        n_of_role[roles[0]] = brick[0]
 
     def affine(comp: str):
         n = jnp.float32(n_of_role[comp])
@@ -1066,6 +1103,8 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     u0v, av = affine(roles[0])
     y0v, ysv = affine(roles[1])
     x0v, xsv = affine(roles[2])
+    if brick is not None:
+        u0v = u0v - brick[1]
 
     nf = jnp.floor((tfar - tnear) / tstep) + 1.0
     icap = jnp.clip(nf, 1.0, jnp.float32(opts.n_steps)).astype(jnp.int32)
@@ -1120,6 +1159,9 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         if pad_l:
             lutT = jnp.pad(lutT, ((0, 0), (0, pad_l)))
         lut2 = lutT.reshape(lut_l * lut_segs, 128)
+    if brick is not None:
+        const_list += [jnp.float32(brick[2]), jnp.float32(brick[3]),
+                       jnp.float32(brick[1])]
     consts = jnp.stack(const_list)
 
     n_tiles = rayf.shape[0]
@@ -1130,7 +1172,8 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
                 lighting=lighting, n_lights=n_lights, lut_l=lut_l,
                 lut_segs=lut_segs,
                 re_aliased=(scene.reflection_aliased if lighting else True),
-                axis=axis)
+                axis=axis, brick=brick is not None,
+                d_global=(int(brick[0]) if brick is not None else 0))
 
     if grad_mode:
         g_img, out_img = grad_inputs
@@ -1145,6 +1188,11 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
                           + g_img[..., 2] * colv[2])
         tot_t = pad_tile(jnp.sum(g_img * out_img, axis=-1))
         gt = jnp.stack([gcol_t, tot_t], axis=1)  # (n_tiles, 2, 8, 128)
+    elif brick is not None and brick[4] is not None:
+        ww0 = jnp.zeros((hp_img, wp_img), jnp.float32)
+        ww0 = ww0.at[:brick[4].shape[0], :w_img].set(brick[4])
+        gt = jnp.stack(
+            [_tile_image(ww0), jnp.zeros_like(_tile_image(ww0))], axis=1)
     else:
         gt = jnp.zeros((n_tiles, 2, 8, 128), jnp.float32)
 
@@ -1282,6 +1330,9 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     img_g = _untile_image(out[:, 1], hp_img, wp_img)[:rows_out, :w_img]
     img_b = _untile_image(out[:, 2], hp_img, wp_img)[:rows_out, :w_img]
     image = jnp.stack([img_r, img_g, img_b], axis=-1)
+    if brick is not None:
+        ww_img = _untile_image(out[:, 3], hp_img, wp_img)[:rows_out, :w_img]
+        return image, ww_img, ovf_any, dir_ok
     return image, ovf_any, dir_ok
 
 

@@ -385,6 +385,138 @@ def render_forward_bricked(
 
 
 # ---------------------------------------------------------------------------
+# forward with the Pallas kernel per brick
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("opts", "ascending", "wr", "interpret",
+                                   "mesh", "axis_name"))
+def _bricked_fast(scene: Scene, opts: RenderOptions, cam_off,
+                  ascending: bool, wr: int, interpret: bool, *,
+                  mesh: Mesh, axis_name: str):
+    from volume_renderer_tpu.ops.pallas_march import _launch
+
+    n = mesh.shape[axis_name]
+    d_global = int(scene.emission.data.shape[0])
+    bd = d_global // n
+
+    def shard_fn(scene_local: Scene, cam):
+        b = jax.lax.axis_index(axis_name)
+        bf = b.astype(jnp.float32)
+
+        def pad_vol(vol):
+            if vol is None:
+                return None
+            return vol.replace(data=_with_halo(vol.data, axis_name, n))
+
+        scene_pad = scene_local.replace(
+            emission=pad_vol(scene_local.emission),
+            absorption=pad_vol(scene_local.absorption),
+            reflection=pad_vol(scene_local.reflection),
+        )
+        z_off = bf * bd - HALO
+        own_lo = jnp.where(b == 0, jnp.float32(-1e30), jnp.float32(HALO))
+        own_hi = jnp.where(b == n - 1, jnp.float32(1e30),
+                           jnp.float32(HALO + bd))
+
+        # phase 1: segment transmittance (ww with zero entry opacity;
+        # the kernel's threshold mask IS the provably-dies early exit)
+        _, ww1, ovf1, ok1 = _launch(
+            scene_pad, opts, cam, "z", ascending, wr, interpret,
+            brick=(d_global, z_off, own_lo, own_hi, None))
+        t_local = 1.0 - ww1
+
+        # relay: exact entry opacity from the upstream product in the
+        # (uniform, dir_ok-guaranteed) traversal order
+        t_all = jax.lax.all_gather(t_local, axis_name)  # (n, H, W)
+        if ascending:
+            up = jnp.where(b > 0, jnp.cumprod(t_all, axis=0)[
+                jnp.maximum(b - 1, 0)], 1.0)
+        else:
+            up = jnp.where(b < n - 1, jnp.cumprod(t_all[::-1], axis=0)[
+                ::-1][jnp.minimum(b + 1, n - 1)], 1.0)
+        w_in = 1.0 - up
+
+        # phase 2: shaded segment from the exact entry state; the global
+        # transmittance weighting makes the psum the final image
+        img, _, ovf2, ok2 = _launch(
+            scene_pad, opts, cam, "z", ascending, wr, interpret,
+            brick=(d_global, z_off, own_lo, own_hi, w_in))
+        img = jax.lax.psum(img, axis_name)
+        ovf = (ovf1 | ovf2).reshape(1)
+        ok = (ok1 & ok2).reshape(1)
+        return img, ovf, ok
+
+    specs = _brick_specs(scene, axis_name)
+    img, ovf, ok = shard_map(
+        shard_fn, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(P(), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(scene, jnp.float32(cam_off))
+    return img, jnp.any(ovf), jnp.all(ok)
+
+
+def render_forward_bricked_fast(
+    scene: Scene,
+    opts: RenderOptions,
+    camera_x_offset=0.0,
+    *,
+    mesh: Mesh,
+    axis_name: str = "bricks",
+    interpret=None,
+):
+    """Brick-sharded forward with the Pallas march per brick.
+
+    Each device sweeps its halo-padded z-brick with the production
+    kernel; the two-phase transmittance relay (module docstring) keeps
+    the reference's exact opacity break. Host-driven: falls back to the
+    XLA ``render_forward_bricked`` off the kernel envelope (lighting,
+    non-z principal axis, wide fov, window overflow).
+    """
+    import jax as _jax
+
+    from volume_renderer_tpu.ops.pallas_march import (
+        _note_fallback,
+        choose_sweep_axis,
+        unsupported_reason,
+    )
+
+    if interpret is None:
+        interpret = _jax.default_backend() == "cpu"
+
+    n, _ = _mesh_geometry(scene, opts, mesh, axis_name, None)
+
+    def fallback():
+        return render_forward_bricked(
+            scene, opts, camera_x_offset, mesh=mesh, axis_name=axis_name)
+
+    reason = unsupported_reason(scene, opts)
+    if reason is None and scene.has_lighting:
+        reason = "lighting (the brick kernel mode is lighting-off only)"
+    if reason is None and scene.emission.data.shape[0] // n < 2:
+        reason = "brick depth < 2 slices"
+    axis, ascending = choose_sweep_axis(scene)
+    if reason is None and axis != "z":
+        reason = f"principal axis {axis} != brick axis z"
+    if reason is not None:
+        _note_fallback(reason)
+        return fallback()
+
+    for wr in (64, 128):
+        img, ovf, ok = _bricked_fast(
+            scene, opts, jnp.float32(camera_x_offset), ascending, wr,
+            bool(interpret), mesh=mesh, axis_name=axis_name)
+        if not bool(ok):
+            _note_fallback("degenerate sweep direction")
+            return fallback()
+        if not bool(ovf):
+            _note_fallback(None)
+            return img
+    _note_fallback("tile sample footprint overflowed the 128-row window")
+    return fallback()
+
+
+# ---------------------------------------------------------------------------
 # backward: fused render over bricks (custom VJP)
 # ---------------------------------------------------------------------------
 
