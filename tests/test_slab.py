@@ -81,8 +81,10 @@ def test_planner_fast_path_when_fits():
 
 
 def test_planner_flat_when_pallas_unsupported():
-    # lighting on is outside the kernel envelope -> flat gather path
-    scene, _ = make_scene(vol_shape=(16, 12, 10), lighting=True)
+    # lookup-mode gradient volumes are outside the kernel envelope ->
+    # flat gather path (OTF lighting routes through the kernel since r4)
+    scene, _ = make_scene(vol_shape=(16, 12, 10), lighting=True,
+                          gradient_volumes=True)
     opts = scene.options(W, H)
     plan = plan_render(scene, opts, budget_bytes=1 << 30)
     assert plan.path == "flat"
