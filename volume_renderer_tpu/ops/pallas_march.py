@@ -918,9 +918,16 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                     if cfg.ab_aliased:
                         # same grid, same corner weights: one combined scatter
                         dv_em = dv_em + dv_ab
-                    _scatter_chunk(cfg, ident, gwin, dv_em, dv_ab,
-                                   zfac[0], zfac[1], fy, wy0, wy1,
-                                   fx, xl0, xl1)
+
+                    def do_scatter(_):
+                        _scatter_chunk(cfg, ident, gwin, dv_em, dv_ab,
+                                       zfac[0], zfac[1], fy, wy0, wy1,
+                                       fx, xl0, xl1)
+                        return 0
+
+                    # post-termination chunks carry zero cotangents: skip
+                    # the whole transpose/one-hot/matmul cascade
+                    jax.lax.cond(jnp.any(act), do_scatter, lambda _: 0, 0)
                 return (rr, gg, bb, new_ww, pref, eac + e_chunk,
                         fac + f_chunk)
 
