@@ -53,7 +53,16 @@ def scene_volume_bytes(scene: Scene) -> int:
 
 def ray_state_bytes(opts: RenderOptions) -> int:
     """Per-ray march state (SoA f32: pos, step, origin, rgb, w, t, tnear,
-    tfar, masks — ~16 lanes with headroom x2 for fusion copies)."""
+    tfar, masks — ~16 lanes with headroom x2 for fusion copies).
+
+    Calibration status (round 4): the axon TPU platform returns an empty
+    ``memory_stats()`` (bytes_in_use/peak all zero), so these analytic
+    bounds cannot be validated against live telemetry here; they are
+    deliberately conservative (the Pallas path's true extra footprint is
+    one axis-permuted volume copy + ~1 MiB of VMEM windows per core,
+    below this estimate). Re-calibrate on hardware that reports
+    ``peak_bytes_in_use``.
+    """
     return opts.width * opts.height * _F32 * 32
 
 
