@@ -131,10 +131,32 @@ def test_lighting_through_kernel(case):
     np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-4)
 
 
-def test_lookup_gradient_scene_falls_back():
-    """Precomputed gradient volumes (example1_grad) still ride the flat
-    path — with identical output."""
+def test_lookup_lighting_through_kernel():
+    """Precomputed gradient volumes (example1_grad,
+    volumeRender_kernel.cu:266-276) render through the kernel's lookup
+    mode allclose vs the flat path."""
+    for case in (dict(lookup=True), dict(lookup=True, alias=True),
+                 dict(lookup=True, n_lights=2)):
+        scene = _lit_scene(**case)
+        opts = scene.options(32, 32)
+        assert pallas_supported(scene, opts), case
+        ref = np.asarray(render_forward(scene, opts))
+        out = np.asarray(render_forward_fast(scene, opts, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-4)
+
+
+def _mismatched_grad_scene():
+    """Gradient volumes in a different layout than emission: the one
+    remaining lighting configuration outside the kernel envelope."""
+    import jax.numpy as _jnp
+
     scene = _lit_scene(lookup=True)
+    small = np.zeros((4, 4, 4), np.float32)
+    return scene.replace(gradient_x=Volume.create(small))
+
+
+def test_mismatched_gradient_scene_falls_back():
+    scene = _mismatched_grad_scene()
     opts = scene.options(16, 16)
     assert not pallas_supported(scene, opts)
     ref = np.asarray(render_forward(scene, opts))

@@ -30,12 +30,12 @@ def test_dp_forward_matches_flat():
 
 
 def test_dp_forward_fallback_matches():
-    """Off-envelope scenes (lookup-gradient lighting) fall back to the
-    sharded XLA path with identical output."""
-    from tests.test_pallas import _lit_scene
+    """Off-envelope scenes (mismatched gradient volumes) fall back to
+    the sharded XLA path with identical output."""
+    from tests.test_pallas import _mismatched_grad_scene
 
     mesh = make_mesh(4)
-    scene = _lit_scene(lookup=True)
+    scene = _mismatched_grad_scene()
     opts = scene.options(16, 64)
     ref = np.asarray(render_forward(scene, opts))
     out = np.asarray(render_forward_fast_sharded(scene, opts, mesh=mesh))

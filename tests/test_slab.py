@@ -81,10 +81,16 @@ def test_planner_fast_path_when_fits():
 
 
 def test_planner_flat_when_pallas_unsupported():
-    # lookup-mode gradient volumes are outside the kernel envelope ->
-    # flat gather path (OTF lighting routes through the kernel since r4)
+    # gradient volumes in a different layout than emission are the one
+    # remaining lighting config outside the kernel envelope -> flat path
+    import numpy as np
+
+    from volume_renderer_tpu.models.volume import Volume
+
     scene, _ = make_scene(vol_shape=(16, 12, 10), lighting=True,
                           gradient_volumes=True)
+    scene = scene.replace(
+        gradient_x=Volume.create(np.zeros((4, 4, 4), np.float32)))
     opts = scene.options(W, H)
     plan = plan_render(scene, opts, budget_bytes=1 << 30)
     assert plan.path == "flat"

@@ -88,6 +88,9 @@ class _KCfg(NamedTuple):
     lut_segs: int = 0  # 128-lane segments per LUT row (ceil(L^2/128))
     re_aliased: bool = True
     axis: str = "z"    # sweep axis (maps tap pairs to world gradient axes)
+    lookup: bool = False  # lighting with PRECOMPUTED gradient volumes
+    # (reference example1_grad / volumeRender_kernel.cu:266-276): three
+    # more 2-slice windows replace the OTF tap machinery
     brick: bool = False  # z-brick segment march: the volume is one
     # halo-padded local brick, ww seeds from the gt input (entry opacity
     # from the two-phase transmittance relay, parallel/bricks.py), samples
@@ -393,7 +396,8 @@ def _lut_fetch(cfg: "_KCfg", lut_ref, act, a, b, g):
 def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                   gt_ref, out_ref, ovf_ref, wem, wab, sems,
                   gem_ref=None, gab_ref=None, gwin=None, rmw=None, rsem=None,
-                  lut_ref=None, re_ref=None, wre=None):
+                  lut_ref=None, re_ref=None, wre=None,
+                  g_refs=None, wg=None):
     """One image tile: sweep all slice pairs, composite, write (4,8,128).
 
     Inner structure: per slice pair, the tile's owned march steps are
@@ -564,26 +568,52 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
             nseg = WC // 128
             copies = []
             if cfg.lighting:
-                # 4-slice emission window (s-1..s+2): the sweep-axis OTF
-                # gradient taps reach one slice either side of the pair
-                zs0 = jnp.clip(s - 1, 0, D - 4)
-                for seg in range(nseg):
-                    xs = pl.multiple_of(x0w + seg * 128, 128)
-                    for jz in range(4):
+                if cfg.lookup:
+                    # 2-slice windows for all six roles (no OTF taps;
+                    # normals come from the precomputed gradient volumes)
+                    zs0 = None
+                    for seg in range(nseg):
+                        xs = pl.multiple_of(x0w + seg * 128, 128)
                         copies.append(pltpu.make_async_copy(
-                            em_ref.at[zs0 + jz, pl.ds(y0w, WR),
+                            em_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
                                       pl.ds(xs, 128)],
-                            wem.at[seg, jz], sems.at[seg * 4 + jz]))
-                    if not cfg.ab_aliased:
-                        copies.append(pltpu.make_async_copy(
-                            ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
-                                      pl.ds(xs, 128)],
-                            wab.at[seg], sems.at[8 + seg]))
-                    if not cfg.re_aliased:
-                        copies.append(pltpu.make_async_copy(
-                            re_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
-                                      pl.ds(xs, 128)],
-                            wre.at[seg], sems.at[10 + seg]))
+                            wem.at[seg, 0:2], sems.at[seg]))
+                        if not cfg.ab_aliased:
+                            copies.append(pltpu.make_async_copy(
+                                ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
+                                          pl.ds(xs, 128)],
+                                wab.at[seg], sems.at[2 + seg]))
+                        if not cfg.re_aliased:
+                            copies.append(pltpu.make_async_copy(
+                                re_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
+                                          pl.ds(xs, 128)],
+                                wre.at[seg], sems.at[4 + seg]))
+                        for gi in range(3):
+                            copies.append(pltpu.make_async_copy(
+                                g_refs[gi].at[pl.ds(s, 2), pl.ds(y0w, WR),
+                                              pl.ds(xs, 128)],
+                                wg[gi].at[seg], sems.at[6 + gi * 2 + seg]))
+                else:
+                    # 4-slice emission window (s-1..s+2): the sweep-axis
+                    # OTF gradient taps reach one slice either side
+                    zs0 = jnp.clip(s - 1, 0, D - 4)
+                    for seg in range(nseg):
+                        xs = pl.multiple_of(x0w + seg * 128, 128)
+                        for jz in range(4):
+                            copies.append(pltpu.make_async_copy(
+                                em_ref.at[zs0 + jz, pl.ds(y0w, WR),
+                                          pl.ds(xs, 128)],
+                                wem.at[seg, jz], sems.at[seg * 4 + jz]))
+                        if not cfg.ab_aliased:
+                            copies.append(pltpu.make_async_copy(
+                                ab_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
+                                          pl.ds(xs, 128)],
+                                wab.at[seg], sems.at[8 + seg]))
+                        if not cfg.re_aliased:
+                            copies.append(pltpu.make_async_copy(
+                                re_ref.at[pl.ds(s, 2), pl.ds(y0w, WR),
+                                          pl.ds(xs, 128)],
+                                wre.at[seg], sems.at[10 + seg]))
             else:
                 zs0 = None
                 for seg in range(nseg):
@@ -674,99 +704,144 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                 zero = jnp.zeros((KS, 128), jnp.float32)
 
                 if cfg.lighting:
-                    # ---- HG-LUT shading march step (reference
-                    # volumeRender_kernel.cu:308-353, 435-493): main fetch
-                    # + 6 on-the-fly central-difference taps + per-light
-                    # angle triple -> illumination LUT ----
-                    fy1 = 1.0 - fy
+                    if cfg.lookup:
+                        # ---- lookup-mode shading (reference example1_grad,
+                        # volumeRender_kernel.cu:266-276): world-axis
+                        # normals fetched from the three precomputed
+                        # gradient volumes, same row-scan as em/ab/re ----
+                        def row_body_lu(r, accs):
+                            em_a, ab_a, re_a, gx_a, gy_a, gz_a = accs
+                            yfac = (jnp.where(wy0 == r, fy1, 0.0)
+                                    + jnp.where(wy1 == r, fy, 0.0))
+                            for z in (0, 1):
+                                w2 = yfac * zfac[z]
+                                em_a = em_a + gather_row(
+                                    wem, z, r, xm0, xm1, xhi0, xhi1, fx) * w2
+                                if not cfg.ab_aliased:
+                                    ab_a = ab_a + gather_row(
+                                        wab, z, r, xm0, xm1,
+                                        xhi0, xhi1, fx) * w2
+                                if not cfg.re_aliased:
+                                    re_a = re_a + gather_row(
+                                        wre, z, r, xm0, xm1,
+                                        xhi0, xhi1, fx) * w2
+                                gx_a = gx_a + gather_row(
+                                    wg[0], z, r, xm0, xm1, xhi0, xhi1, fx) * w2
+                                gy_a = gy_a + gather_row(
+                                    wg[1], z, r, xm0, xm1, xhi0, xhi1, fx) * w2
+                                gz_a = gz_a + gather_row(
+                                    wg[2], z, r, xm0, xm1, xhi0, xhi1, fx) * w2
+                            return (em_a, ab_a, re_a, gx_a, gy_a, gz_a)
 
-                    def tapz(uu):
-                        zf_ = jnp.floor(uu)
-                        fz_ = uu - zf_
-                        zi_ = jnp.clip(zf_, -_BIG, _BIG).astype(jnp.int32)
-                        return (jnp.clip(zi_, 0, D - 1),
-                                jnp.clip(zi_ + 1, 0, D - 1), fz_)
+                        (em_s, ab_s, re_s, gxw, gyw, gzw) = jax.lax.fori_loop(
+                            0, n_rows, row_body_lu, (zero,) * 6)
+                        if cfg.ab_aliased:
+                            ab_s = em_s
+                        if cfg.re_aliased:
+                            re_s = em_s
+                    else:
+                        # ---- HG-LUT shading march step (reference
+                        # volumeRender_kernel.cu:308-353, 435-493): main fetch
+                        # + 6 on-the-fly central-difference taps + per-light
+                        # angle triple -> illumination LUT ----
+                        fy1 = 1.0 - fy
 
-                    zp0, zp1, fzp = tapz(u + off_u)
-                    zq0, zq1, fzq = tapz(u - off_u)
+                        def tapz(uu):
+                            zf_ = jnp.floor(uu)
+                            fz_ = uu - zf_
+                            zi_ = jnp.clip(zf_, -_BIG, _BIG).astype(jnp.int32)
+                            return (jnp.clip(zi_, 0, D - 1),
+                                    jnp.clip(zi_ + 1, 0, D - 1), fz_)
 
-                    def tapy(yy):
-                        yf_ = jnp.floor(yy)
-                        fy_ = yy - yf_
-                        yi_ = jnp.clip(yf_, -_BIG, _BIG).astype(jnp.int32)
-                        r0 = jnp.clip(jnp.clip(yi_, 0, H - 1) - y0w, 0, WR - 1)
-                        r1 = jnp.clip(jnp.clip(yi_ + 1, 0, H - 1) - y0w,
-                                      0, WR - 1)
-                        return r0, r1, fy_
+                        zp0, zp1, fzp = tapz(u + off_u)
+                        zq0, zq1, fzq = tapz(u - off_u)
 
-                    wyp0, wyp1, fyp = tapy(y + off_rw)
-                    wym0, wym1, fym = tapy(y - off_rw)
+                        def tapy(yy):
+                            yf_ = jnp.floor(yy)
+                            fy_ = yy - yf_
+                            yi_ = jnp.clip(yf_, -_BIG, _BIG).astype(jnp.int32)
+                            r0 = jnp.clip(jnp.clip(yi_, 0, H - 1) - y0w, 0, WR - 1)
+                            r1 = jnp.clip(jnp.clip(yi_ + 1, 0, H - 1) - y0w,
+                                          0, WR - 1)
+                            return r0, r1, fy_
 
-                    def tapx(xx):
-                        xf_ = jnp.floor(xx)
-                        fx_ = xx - xf_
-                        xi_ = jnp.clip(xf_, -_BIG, _BIG).astype(jnp.int32)
-                        return xi_ - xi, fx_  # corner shift vs main: 0/+-1
+                        wyp0, wyp1, fyp = tapy(y + off_rw)
+                        wym0, wym1, fym = tapy(y - off_rw)
 
-                    dxp, fxp = tapx(x + off_ln)
-                    dxm, fxm = tapx(x - off_ln)
-                    dxp0 = dxp == 0
-                    dxm0 = dxm == 0
+                        def tapx(xx):
+                            xf_ = jnp.floor(xx)
+                            fx_ = xx - xf_
+                            xi_ = jnp.clip(xf_, -_BIG, _BIG).astype(jnp.int32)
+                            return xi_ - xi, fx_  # corner shift vs main: 0/+-1
 
-                    xlc = [jnp.clip(jnp.clip(xi + m, 0, W - 1) - x0w,
-                                    0, WC - 1) for m in (-1, 0, 1, 2)]
+                        dxp, fxp = tapx(x + off_ln)
+                        dxm, fxm = tapx(x - off_ln)
+                        dxp0 = dxp == 0
+                        dxm0 = dxm == 0
 
-                    def row_body_lit(r, accs):
-                        (em_a, ab_a, re_a, txp, txm, typ, tym,
-                         tzp, tzm) = accs
-                        yfac = (jnp.where(wy0 == r, fy1, 0.0)
-                                + jnp.where(wy1 == r, fy, 0.0))
-                        yfp = (jnp.where(wyp0 == r, 1.0 - fyp, 0.0)
-                               + jnp.where(wyp1 == r, fyp, 0.0))
-                        yfm = (jnp.where(wym0 == r, 1.0 - fym, 0.0)
-                               + jnp.where(wym1 == r, fym, 0.0))
-                        for jz in range(4):
-                            zab = zs0 + jz
-                            zfj = (jnp.where(z0 == zab, 1.0 - fz, 0.0)
-                                   + jnp.where(z1 == zab, fz, 0.0))
-                            zfpj = (jnp.where(zp0 == zab, 1.0 - fzp, 0.0)
-                                    + jnp.where(zp1 == zab, fzp, 0.0))
-                            zfqj = (jnp.where(zq0 == zab, 1.0 - fzq, 0.0)
-                                    + jnp.where(zq1 == zab, fzq, 0.0))
-                            c = [gather_lane(wem, jz, r, xl) for xl in xlc]
-                            xv = c[1] + fx * (c[2] - c[1])
-                            xvp = jnp.where(dxp0,
-                                            c[1] + fxp * (c[2] - c[1]),
-                                            c[2] + fxp * (c[3] - c[2]))
-                            xvm = jnp.where(dxm0,
-                                            c[1] + fxm * (c[2] - c[1]),
-                                            c[0] + fxm * (c[1] - c[0]))
-                            em_a = em_a + xv * yfac * zfj
-                            txp = txp + xvp * yfac * zfj
-                            txm = txm + xvm * yfac * zfj
-                            typ = typ + xv * yfp * zfj
-                            tym = tym + xv * yfm * zfj
-                            tzp = tzp + xv * yfac * zfpj
-                            tzm = tzm + xv * yfac * zfqj
-                        for z in (0, 1):
-                            w2 = yfac * zfac[z]
-                            if not cfg.ab_aliased:
-                                ab_a = ab_a + gather_row(
-                                    wab, z, r, xm0, xm1, xhi0, xhi1, fx) * w2
-                            if not cfg.re_aliased:
-                                re_a = re_a + gather_row(
-                                    wre, z, r, xm0, xm1, xhi0, xhi1, fx) * w2
-                        return (em_a, ab_a, re_a, txp, txm, typ, tym,
-                                tzp, tzm)
+                        xlc = [jnp.clip(jnp.clip(xi + m, 0, W - 1) - x0w,
+                                        0, WC - 1) for m in (-1, 0, 1, 2)]
 
-                    (em_s, ab_s, re_s, t_xp, t_xm, t_yp, t_ym, t_zp,
-                     t_zm) = jax.lax.fori_loop(
-                        0, n_rows, row_body_lit, (zero,) * 9)
-                    if cfg.ab_aliased:
-                        ab_s = em_s
-                    if cfg.re_aliased:
-                        re_s = em_s
+                        def row_body_lit(r, accs):
+                            (em_a, ab_a, re_a, txp, txm, typ, tym,
+                             tzp, tzm) = accs
+                            yfac = (jnp.where(wy0 == r, fy1, 0.0)
+                                    + jnp.where(wy1 == r, fy, 0.0))
+                            yfp = (jnp.where(wyp0 == r, 1.0 - fyp, 0.0)
+                                   + jnp.where(wyp1 == r, fyp, 0.0))
+                            yfm = (jnp.where(wym0 == r, 1.0 - fym, 0.0)
+                                   + jnp.where(wym1 == r, fym, 0.0))
+                            for jz in range(4):
+                                zab = zs0 + jz
+                                zfj = (jnp.where(z0 == zab, 1.0 - fz, 0.0)
+                                       + jnp.where(z1 == zab, fz, 0.0))
+                                zfpj = (jnp.where(zp0 == zab, 1.0 - fzp, 0.0)
+                                        + jnp.where(zp1 == zab, fzp, 0.0))
+                                zfqj = (jnp.where(zq0 == zab, 1.0 - fzq, 0.0)
+                                        + jnp.where(zq1 == zab, fzq, 0.0))
+                                c = [gather_lane(wem, jz, r, xl) for xl in xlc]
+                                xv = c[1] + fx * (c[2] - c[1])
+                                xvp = jnp.where(dxp0,
+                                                c[1] + fxp * (c[2] - c[1]),
+                                                c[2] + fxp * (c[3] - c[2]))
+                                xvm = jnp.where(dxm0,
+                                                c[1] + fxm * (c[2] - c[1]),
+                                                c[0] + fxm * (c[1] - c[0]))
+                                em_a = em_a + xv * yfac * zfj
+                                txp = txp + xvp * yfac * zfj
+                                txm = txm + xvm * yfac * zfj
+                                typ = typ + xv * yfp * zfj
+                                tym = tym + xv * yfm * zfj
+                                tzp = tzp + xv * yfac * zfpj
+                                tzm = tzm + xv * yfac * zfqj
+                            for z in (0, 1):
+                                w2 = yfac * zfac[z]
+                                if not cfg.ab_aliased:
+                                    ab_a = ab_a + gather_row(
+                                        wab, z, r, xm0, xm1, xhi0, xhi1, fx) * w2
+                                if not cfg.re_aliased:
+                                    re_a = re_a + gather_row(
+                                        wre, z, r, xm0, xm1, xhi0, xhi1, fx) * w2
+                            return (em_a, ab_a, re_a, txp, txm, typ, tym,
+                                    tzp, tzm)
 
+                        (em_s, ab_s, re_s, t_xp, t_xm, t_yp, t_ym, t_zp,
+                         t_zm) = jax.lax.fori_loop(
+                            0, n_rows, row_body_lit, (zero,) * 9)
+                        if cfg.ab_aliased:
+                            ab_s = em_s
+                        if cfg.re_aliased:
+                            re_s = em_s
+
+
+                        # world-axis gradient from the (sweep, row, lane) tap
+                        # pairs (roles depend on the sweep axis)
+                        diffs = {0: (t_zp - t_zm) * 0.5,
+                                 1: (t_yp - t_ym) * 0.5,
+                                 2: (t_xp - t_xm) * 0.5}
+                        roles = _AXIS_SETUP[cfg.axis][1]
+                        comp = {roles[i]: diffs[i] for i in range(3)}
+                        gxw, gyw, gzw = comp["x"], comp["y"], comp["z"]
                     alpha = 1.0 - jnp.exp(-(fab * ab_s) * tstep)
                     aq = jnp.where(posm, alpha, 0.0)
                     p_incl = scan_mul(1.0 - aq)
@@ -777,15 +852,6 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                                      jnp.int32(0))
                     act = posm & (scan_or(over) == 0)
                     t_k = (1.0 - rep(ww)) * p_excl
-
-                    # world-axis gradient from the (sweep, row, lane) tap
-                    # pairs (roles depend on the sweep axis)
-                    diffs = {0: (t_zp - t_zm) * 0.5,
-                             1: (t_yp - t_ym) * 0.5,
-                             2: (t_xp - t_xm) * 0.5}
-                    roles = _AXIS_SETUP[cfg.axis][1]
-                    comp = {roles[i]: diffs[i] for i in range(3)}
-                    gxw, gyw, gzw = comp["x"], comp["y"], comp["z"]
                     g2 = gxw * gxw + gyw * gyw + gzw * gzw
                     inv_len = jnp.where(
                         g2 > _GRAD_EPS2,
@@ -1038,6 +1104,11 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     re = None
     if lighting and not scene.reflection_aliased:
         re = jnp.transpose(scene.reflection.data, perm)
+    lookup = lighting and scene.has_gradient_volumes
+    gvols = []
+    if lookup:
+        gvols = [jnp.transpose(v.data, perm) for v in
+                 (scene.gradient_x, scene.gradient_y, scene.gradient_z)]
 
     D, H, W = em.shape
     HP, WP = _round_up(H, 8), _round_up(W, 128)
@@ -1049,6 +1120,8 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
             ab = jnp.pad(ab, ((0, 0), (0, HP - H), (0, WP - W)))
         if re is not None:
             re = jnp.pad(re, ((0, 0), (0, HP - H), (0, WP - W)))
+        gvols = [jnp.pad(g_, ((0, 0), (0, HP - H), (0, WP - W)))
+                 for g_ in gvols]
 
     # ---- rays over the TILE-padded image (or one rays-DP band) ----
     w_img, h_img = opts.width, opts.height
@@ -1179,7 +1252,7 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
                 lighting=lighting, n_lights=n_lights, lut_l=lut_l,
                 lut_segs=lut_segs,
                 re_aliased=(scene.reflection_aliased if lighting else True),
-                axis=axis, brick=brick is not None,
+                axis=axis, lookup=lookup, brick=brick is not None,
                 d_global=(int(brick[0]) if brick is not None else 0))
 
     if grad_mode:
@@ -1214,6 +1287,7 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         consts_r, gt_r = next(it), next(it)
         lut_r = next(it) if lighting else None
         re_r = next(it) if has_re else None
+        g_refs = [next(it) for _ in range(3)] if lookup else None
         if scatter:
             next(it)  # gem seed (aliased to the gem output; RMW uses out)
             if has_ab:
@@ -1223,6 +1297,7 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         gab_o = next(it) if (scatter and has_ab) else None
         wem_s, wab_s, sems_s = next(it), next(it), next(it)
         wre_s = next(it) if lighting else None
+        wg_s = [next(it) for _ in range(3)] if lookup else None
         gwin_s = next(it) if scatter else None
         rmw_s = next(it) if scatter else None
         rsem_s = next(it) if scatter else None
@@ -1230,7 +1305,8 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
                       out_r, ovf_r, wem_s, wab_s, sems_s,
                       gem_ref=gem_o, gab_ref=gab_o, gwin=gwin_s,
                       rmw=rmw_s, rsem=rsem_s,
-                      lut_ref=lut_r, re_ref=re_r, wre=wre_s)
+                      lut_ref=lut_r, re_ref=re_r, wre=wre_s,
+                      g_refs=g_refs, wg=wg_s)
 
     ab_in = [ab] if has_ab else []
     ab_spec = [pl.BlockSpec(memory_space=pl.ANY)] if has_ab else []
@@ -1258,6 +1334,10 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         if has_re:
             lit_in.append(re)
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        if lookup:
+            for g_ in gvols:
+                lit_in.append(g_)
+                in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     out_specs = [
         pl.BlockSpec((1, n_out_ch, 8, 128), lambda t: (t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1268,8 +1348,9 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         jax.ShapeDtypeStruct((n_tiles, n_out_ch, 8, 128), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, 8, 128), jnp.int32),
     ]
+    nz_em = 2 if (not lighting or lookup) else 4
     scratch_shapes = [
-        pltpu.VMEM((nseg, 4 if lighting else 2, WR, 128), jnp.float32),
+        pltpu.VMEM((nseg, nz_em, WR, 128), jnp.float32),
         wab_scratch,
         pltpu.SemaphoreType.DMA((12 if lighting else 4,)),
     ]
@@ -1277,6 +1358,10 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         scratch_shapes.append(
             pltpu.VMEM((nseg, 2, WR, 128), jnp.float32) if has_re
             else pltpu.VMEM((1, 1, 1, 128), jnp.float32))
+        if lookup:
+            scratch_shapes += [
+                pltpu.VMEM((nseg, 2, WR, 128), jnp.float32)
+                for _ in range(3)]
     grad_in = []
     aliases = {}
     if scatter:
@@ -1405,9 +1490,6 @@ def unsupported_reason(scene: Scene, opts: RenderOptions,
         if grads:
             return ("lighting backward (gradients through HG-LUT shading "
                     "ride the replay path)")
-        if scene.has_gradient_volumes:
-            return ("lookup-mode gradient volumes (the kernel computes "
-                    "on-the-fly central differences only)")
         if scene.illumination is None:
             return "lighting without an illumination LUT"
         ls = scene.illumination.shape
@@ -1415,15 +1497,22 @@ def unsupported_reason(scene: Scene, opts: RenderOptions,
             return f"non-cubic illumination LUT {ls}"
         if int(np.prod(ls)) * 4 > 4 * 2 ** 20:
             return f"illumination LUT {ls} exceeds the 4 MiB VMEM budget"
-        if min(scene.emission.data.shape) < 4:
-            return "volume too small for the 4-slice tap window"
-        # OTF tap offsets must stay within one voxel so the sweep-axis
-        # taps fit the (s-1..s+2) window
-        ext_ = [opts.boxmax[i] - opts.boxmin[i] for i in range(3)]
-        w_, h_, d_ = scene.emission.extent_xyz
-        for gs_, n_, e_ in zip(opts.gradient_step, (w_, h_, d_), ext_):
-            if gs_ * n_ / e_ > 1.0 + 1e-6:
-                return "gradient tap offset exceeds one voxel"
+        if scene.has_gradient_volumes:
+            for gv in (scene.gradient_x, scene.gradient_y, scene.gradient_z):
+                if (gv.data.shape != scene.emission.data.shape
+                        or gv.data.dtype != jnp.float32):
+                    return ("gradient volume shape/dtype differs from "
+                            "emission (kernel windows need one layout)")
+        else:
+            if min(scene.emission.data.shape) < 4:
+                return "volume too small for the 4-slice tap window"
+            # OTF tap offsets must stay within one voxel so the
+            # sweep-axis taps fit the (s-1..s+2) window
+            ext_ = [opts.boxmax[i] - opts.boxmin[i] for i in range(3)]
+            w_, h_, d_ = scene.emission.extent_xyz
+            for gs_, n_, e_ in zip(opts.gradient_step, (w_, h_, d_), ext_):
+                if gs_ * n_ / e_ > 1.0 + 1e-6:
+                    return "gradient tap offset exceeds one voxel"
     for vol in (scene.emission, scene.absorption,
                 scene.reflection if scene.has_lighting else None):
         if vol is None:
