@@ -68,3 +68,17 @@ def test_dp_train_step_matches_single_device(alias):
         np.testing.assert_allclose(
             np.asarray(p1[k]), np.asarray(p2[k]), rtol=5e-4, atol=1e-7,
             err_msg=k)
+
+
+def test_dp_forward_lighting_matches_flat():
+    """Lighting-on scenes ride the kernel inside the DP shards too."""
+    from tests.test_pallas import _lit_scene
+    from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+
+    mesh = make_mesh(4)
+    scene = _lit_scene(vol=14)
+    opts = scene.options(32, 128)
+    ref = np.asarray(render_forward(scene, opts))
+    out = np.asarray(render_forward_fast_sharded(scene, opts, mesh=mesh))
+    assert last_fallback_reason() is None
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-4)
