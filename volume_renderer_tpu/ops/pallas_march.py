@@ -162,7 +162,7 @@ def _mxu_t(a, ident):
         preferred_element_type=jnp.float32)
 
 
-def _scatter_chunk(cfg: "_KCfg", ident, gwin_ref, dv_em, dv_ab,
+def _scatter_chunk(cfg: "_KCfg", ident, gwin_ref, act, dv_em, dv_ab,
                    zf0, zf1, fy, wy0, wy1, fx, xl0, xl1):
     """Scatter-add one chunk's per-sample cotangents into the grad windows.
 
@@ -240,6 +240,11 @@ def _scatter_chunk(cfg: "_KCfg", ident, gwin_ref, dv_em, dv_ab,
                 preferred_element_type=f32))
         return tuple(out)
 
+    # NB a dynamic trip bound (last active sublane group) was measured
+    # SLOWER at 256^3 (-11%): the variable-trip lowering costs more than
+    # the skipped tail groups save. ``act`` stays for the any()-skip in
+    # the caller; the loop runs all KS groups.
+    del act
     zero = jnp.zeros((128, WC), f32)
     gs = jax.lax.fori_loop(0, KS, body, (zero,) * nblk)
     for b in range(nblk):
@@ -986,7 +991,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                         dv_em = dv_em + dv_ab
 
                     def do_scatter(_):
-                        _scatter_chunk(cfg, ident, gwin, dv_em, dv_ab,
+                        _scatter_chunk(cfg, ident, gwin, act, dv_em, dv_ab,
                                        zfac[0], zfac[1], fy, wy0, wy1,
                                        fx, xl0, xl1)
                         return 0
