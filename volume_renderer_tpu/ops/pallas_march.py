@@ -1021,14 +1021,18 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         return jax.lax.cond(any_live, run, lambda c: c, carry)
 
     zero = jnp.zeros((8, 128), jnp.float32)
-    ww0 = gt_ref[0, 0] if cfg.brick else zero  # brick: relay entry opacity
     if cfg.grad_mode:
+        # brick grad replay seeds from the relay: gt = [gcol, tot,
+        # entry opacity, upstream prefix-dot] (parallel/bricks.py)
+        ww0 = gt_ref[0, 2] if cfg.brick else zero
+        pref0 = gt_ref[0, 3] if cfg.brick else zero
         rr, gg, bb, ww, pref, eac, fac, ovf = jax.lax.fori_loop(
             0, S, slab_body,
-            (zero, zero, zero, zero, zero, zero, zero, jnp.int32(0)))
+            (zero, zero, zero, ww0, pref0, zero, zero, jnp.int32(0)))
         out_ref[0, 4] = eac
         out_ref[0, 5] = fac
     else:
+        ww0 = gt_ref[0, 0] if cfg.brick else zero  # relay entry opacity
         rr, gg, bb, ww, ovf = jax.lax.fori_loop(
             0, S, slab_body, (zero, zero, zero, ww0, jnp.int32(0)))
     out_ref[0, 0] = rr
@@ -1272,7 +1276,11 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         gcol_t = pad_tile(g_img[..., 0] * colv[0] + g_img[..., 1] * colv[1]
                           + g_img[..., 2] * colv[2])
         tot_t = pad_tile(jnp.sum(g_img * out_img, axis=-1))
-        gt = jnp.stack([gcol_t, tot_t], axis=1)  # (n_tiles, 2, 8, 128)
+        if brick is not None:
+            gt = jnp.stack([gcol_t, tot_t, pad_tile(brick[4]),
+                            pad_tile(brick[5])], axis=1)
+        else:
+            gt = jnp.stack([gcol_t, tot_t], axis=1)  # (n_tiles, 2, 8, 128)
     elif brick is not None and brick[4] is not None:
         ww0 = jnp.zeros((hp_img, wp_img), jnp.float32)
         ww0 = ww0.at[:brick[4].shape[0], :w_img].set(brick[4])
@@ -1320,6 +1328,7 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
                    else pltpu.VMEM((1, 1, 1, 128), jnp.float32))
     n_out_ch = 6 if grad_mode else 4
     n_ray_ch = 12 if lighting else 6
+    n_gt_ch = 4 if (brick is not None and grad_mode) else 2
 
     in_specs = [
         pl.BlockSpec((1, n_ray_ch, 8, 128), lambda t: (t, 0, 0, 0),
@@ -1329,7 +1338,7 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         pl.BlockSpec(memory_space=pl.ANY),
         *ab_spec,
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 2, 8, 128), lambda t: (t, 0, 0, 0),
+        pl.BlockSpec((1, n_gt_ch, 8, 128), lambda t: (t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     lit_in = []
