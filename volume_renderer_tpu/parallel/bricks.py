@@ -690,6 +690,48 @@ def voxel_grads_bricked_fast(
     return fallback()
 
 
+def train_step_fast_bricked(
+    params,
+    opt_state,
+    scene: Scene,
+    opts: RenderOptions,
+    target,
+    optimizer,
+    *,
+    mesh: Mesh,
+    axis_name: str = "bricks",
+    camera_x_offset: float = 0.0,
+):
+    """Brick-sharded training step at kernel speed (SSE loss): the
+    voxel grids stay z-sharded across the mesh end to end — forward,
+    in-kernel scatter backward, halo-returned gradients, optimizer
+    update on the sharded grids. The huge-volume training analog of
+    pallas_dp.train_step_fast_sharded. Returns (params, opt_state,
+    loss); falls back inside voxel_grads_bricked_fast off the envelope.
+    """
+    import optax
+
+    from volume_renderer_tpu import train
+
+    merged = train.merge_params(params, scene)
+    tgt = jnp.asarray(target, jnp.float32)
+    # the cotangent needs the image first; voxel_grads_bricked_fast
+    # renders internally, so one extra forward is avoided by computing g
+    # from its own returned image in a second call — instead we accept
+    # the standard two-sweep structure: render, then grads with g
+    img = render_forward_bricked_fast(
+        merged, opts, camera_x_offset, mesh=mesh, axis_name=axis_name)
+    resid = img - tgt
+    loss = jnp.sum(resid ** 2)
+    _, grads_all = voxel_grads_bricked_fast(
+        merged, opts, 2.0 * resid, camera_x_offset, mesh=mesh,
+        axis_name=axis_name)
+    grads = {k: grads_all[k] for k in params}
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
 # ---------------------------------------------------------------------------
 # backward: fused render over bricks (custom VJP)
 # ---------------------------------------------------------------------------
