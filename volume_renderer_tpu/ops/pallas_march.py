@@ -569,6 +569,10 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
             ovf = ovf | jnp.where(
                 (ymx - y0w >= WR) | (xmx - x0w >= WC), jnp.int32(1), jnp.int32(0))
             n_rows = jnp.clip(ymx - y0w + 1, 1, WR)
+            # first window row actually inside the footprint: the 8-row
+            # alignment of y0w leaves up to 7 dead rows the scan can skip
+            # (live samples' wy indices are >= ymn - y0w by construction)
+            r_lo = jnp.clip(ymn - y0w, 0, WR - 1)
 
             nseg = WC // 128
             copies = []
@@ -632,18 +636,21 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                             wab.at[seg], sems.at[2 + seg]))
             for cp in copies:
                 cp.start()
-            for cp in copies:
-                cp.wait()
 
             # per-ray chunk indexing: ray r's chunk c covers its OWN steps
             # [lo_r + c*K, lo_r + (c+1)*K) — no lockstep step counter, so a
             # tilted tile (rays entering the slab at skewed step indices)
             # costs ceil(own-range / K) chunks, not ceil(skewed-union / K).
+            # (Computed between DMA start and wait: the vector->scalar
+            # extraction latency hides under the window transfer.)
             nmax = jnp.max(jnp.where(live, hi - lo, jnp.int32(0)))
             n_chunks = (nmax + (K - 1)) // K
 
             lob = rep(lof)
             hib = rep(hif) + 1.0  # back to exclusive bound, f32
+
+            for cp in copies:
+                cp.wait()
 
             def chunk_body(c, c2):
                 if cfg.grad_mode:
@@ -739,7 +746,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                             return (em_a, ab_a, re_a, gx_a, gy_a, gz_a)
 
                         (em_s, ab_s, re_s, gxw, gyw, gzw) = jax.lax.fori_loop(
-                            0, n_rows, row_body_lu, (zero,) * 6)
+                            r_lo, n_rows, row_body_lu, (zero,) * 6)
                         if cfg.ab_aliased:
                             ab_s = em_s
                         if cfg.re_aliased:
@@ -832,7 +839,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
 
                         (em_s, ab_s, re_s, t_xp, t_xm, t_yp, t_ym, t_zp,
                          t_zm) = jax.lax.fori_loop(
-                            0, n_rows, row_body_lit, (zero,) * 9)
+                            r_lo, n_rows, row_body_lit, (zero,) * 9)
                         if cfg.ab_aliased:
                             ab_s = em_s
                         if cfg.re_aliased:
@@ -929,7 +936,8 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                             ab_acc = ab_acc + xa * w2
                     return (em_acc, ab_acc)
 
-                em_s, ab_s = jax.lax.fori_loop(0, n_rows, row_body, (zero, zero))
+                em_s, ab_s = jax.lax.fori_loop(
+                    r_lo, n_rows, row_body, (zero, zero))
                 if cfg.ab_aliased:
                     ab_s = em_s
 
