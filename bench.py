@@ -29,8 +29,9 @@ Extras:
   transfer_fwdbwd_rays_s fwd + transfer-parameter backward (Pallas)
   lighting_rays_s        forward with HG lighting (Pallas kernel)
   oracle_allclose        fast path allclose vs the CUDA-semantics oracle
-  scaling_1_to_8         CPU-mesh rays-DP throughput ratio (rehearsal
-                         proxy for multi-chip scaling; subprocess)
+  scaling_work_efficiency_* CPU-mesh total-work overhead of the sharded
+                         paths (process-CPU-seconds 1 vs 8 shards;
+                         utils/scaling_probe.py; subprocess)
 
 Env knobs:
   VRT_BENCH_BUDGET_S              wall-clock budget for extras (default 900)
@@ -191,7 +192,7 @@ def main():
 
     # ---- north-star config: fwd+bwd at 512^3 / 1024^2 ----
     def run_fwdbwd_big():
-        extra["big_fwdbwd_rays_s"] = _fwdbwd_at(512, 1024, 1)
+        extra["big_fwdbwd_rays_s"] = _fwdbwd_at(512, 1024, 2)
 
     # ---- north-star forward: 512^3 / 1024^2 ----
     def run_big():
@@ -264,8 +265,15 @@ def main():
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         rec = json.loads(line)
-        extra["scaling_1_to_8"] = rec["ratio"]
-        extra["scaling_efficiency"] = rec["efficiency"]
+        # Total-work overhead probe (utils/scaling_probe.py): process-CPU
+        # seconds of 1 vs 8 shards on the CPU mesh — unclamped, identical
+        # output asserted, conservative under collective busy-wait. The
+        # headline is the bricked (z-sharded) path: halo + relay + psum.
+        extra["scaling_work_efficiency_bricked"] = (
+            rec["bricked"]["work_efficiency"])
+        extra["scaling_work_efficiency_rays_dp"] = (
+            rec["rays_dp"]["work_efficiency"])
+        extra["scaling_definition"] = rec["definition"]
 
     if do_fwdbwd:
         boxed("fwdbwd_rays_s", 120, run_fwdbwd)
@@ -282,7 +290,7 @@ def main():
     if oracle_img > 0:
         boxed("oracle_allclose", 45, run_oracle)
     if do_scaling:
-        boxed("scaling_1_to_8", 120, run_scaling)
+        boxed("scaling_work_efficiency", 120, run_scaling)
 
     # Enriched record (same primary fields, extras filled in).
     print(json.dumps(record), flush=True)
