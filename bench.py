@@ -218,6 +218,20 @@ def main():
             "pallas" if last_fallback_reason() is None
             else f"fallback: {last_fallback_reason()}")
 
+    # ---- north-star-scale lighting: 512^3 / 1024^2, HG-LUT shading ----
+    # (the reference's de-facto benchmark workloads are all lit:
+    # examples/example1.m:11-12)
+    def run_lighting_big():
+        scene_lb = _flagship_scene(vol=512, lighting=True)
+        opts_lb = scene_lb.options(1024, 1024)
+        dt_lb = _timed(lambda: render_forward_fast(scene_lb, opts_lb), 1)
+        from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+
+        extra["big_lit_forward_rays_s"] = round(1024 * 1024 / dt_lb, 1)
+        extra["big_lit_path"] = (
+            "pallas" if last_fallback_reason() is None
+            else f"fallback: {last_fallback_reason()}")
+
     # ---- r02's exact config, for the direct longitudinal comparison ----
     def run_r02():
         scene_r02 = _flagship_scene(vol=128, lighting=False)
@@ -284,6 +298,8 @@ def main():
     if do_fwdbwd:
         boxed("fwdbwd_128_rays_s", 60, run_fwdbwd_128)
     boxed("lighting_rays_s", 90, run_lighting)
+    if do_big:
+        boxed("big_lit_forward_rays_s", 120, run_lighting_big)
     boxed("r02_config_rays_s", 30, run_r02)
     if do_fwdbwd:
         boxed("transfer_fwdbwd_rays_s", 60, run_transfer)

@@ -75,6 +75,10 @@ class VolumeRenderer:
         # Memory planner knobs: None = query the device (api/planner.py).
         self.memory_budget_bytes: Optional[int] = None
         self.last_plan = None
+        # Optional jax.sharding.Mesh: unlocks the multi-device tiers
+        # (rays-DP when the scene fits each device, z-bricked sharding
+        # when it does not; api/planner.py). None = single device.
+        self.mesh = None
 
         # content-hash cache for identical-volume dedup; keyed by array id
         # with the array pinned so ids can't be recycled.
@@ -186,9 +190,41 @@ class VolumeRenderer:
         if self.backend == "oracle":
             return render_oracle(scene, opts, camera_x_offset)
         # memory pre-flight: flat when it fits, z-slab sweep when it
-        # doesn't (the reference errors instead, mmanager.hxx:144-173)
-        plan = plan_render(scene, opts, budget_bytes=self.memory_budget_bytes)
+        # doesn't (the reference errors instead, mmanager.hxx:144-173);
+        # with a mesh set, the multi-device tiers come first
+        plan = plan_render(scene, opts, budget_bytes=self.memory_budget_bytes,
+                           mesh=self.mesh)
         self.last_plan = plan
+        if plan.path == "pallas_dp":
+            import dataclasses
+
+            from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+            from volume_renderer_tpu.parallel.pallas_dp import (
+                render_forward_fast_sharded,
+            )
+
+            img = render_forward_fast_sharded(
+                scene, opts, camera_x_offset, mesh=self.mesh)
+            reason = last_fallback_reason()
+            if reason is not None:
+                self.last_plan = dataclasses.replace(
+                    plan, note=f"kernel fell back (sharded XLA): {reason}")
+            return img
+        if plan.path == "bricked":
+            import dataclasses
+
+            from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+            from volume_renderer_tpu.parallel.bricks import (
+                render_forward_bricked_fast,
+            )
+
+            img = render_forward_bricked_fast(
+                scene, opts, camera_x_offset, mesh=self.mesh)
+            reason = last_fallback_reason()
+            if reason is not None:
+                self.last_plan = dataclasses.replace(
+                    plan, note=f"kernel fell back (bricked XLA): {reason}")
+            return img
         if plan.path == "pallas":
             import dataclasses
 

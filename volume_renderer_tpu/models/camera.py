@@ -27,8 +27,11 @@ from volume_renderer_tpu.ops.float3 import F3
 @struct.dataclass
 class Camera:
     rotation: jnp.ndarray  # (3, 3) float32; columns are xVec, yVec, zVec
-    focal_length: float = struct.field(pytree_node=False, default=0.0)
-    distance_to_object: float = struct.field(pytree_node=False, default=0.0)
+    # intrinsics are pytree LEAVES (round 5): the fused backward exposes
+    # d/d(focal_length, distance_to_object) alongside the rotation
+    # (SURVEY section 7.4), which requires them traced, not aux data
+    focal_length: float = 0.0
+    distance_to_object: float = 0.0
 
     @classmethod
     def create(cls, rotation=None, focal_length: float = 0.0, distance_to_object: float = 0.0) -> "Camera":

@@ -54,13 +54,15 @@ def split_scene(scene: Scene, with_camera: bool = False) -> Tuple[Diff, Scene]:
     Aliased absorption/reflection (None in the Scene) have no leaves of
     their own — their gradients flow into the emission grid.
 
-    ``with_camera=True`` additionally exposes the camera rotation matrix
-    as a differentiable leaf: the fused backward then also replays the
-    pose chain (ray origin/direction/entry point are closed-form in the
-    rotation; SURVEY section 7.4). Focal length and object distance are
-    static fields of the Camera pytree by design — pose optimization in
-    this framework is over the rotation (as in the scan-path camera
-    gradients, tests/test_camera_grad.py).
+    ``with_camera=True`` additionally exposes the full camera contract
+    of SURVEY section 7.4 as differentiable leaves: the rotation matrix,
+    ``camera_focal`` (focal length) and ``camera_distance`` (distance to
+    object). The fused backward replays the pose chain (ray origin /
+    direction / entry point are closed-form in all of them) and one
+    geometry VJP at the end pulls the accumulated (d_pos0, d_step,
+    d_origin) back to every camera leaf. ``render_fused(camera_grads=
+    True)`` further adds ``camera_x_offset`` (a render argument, not
+    scene state — the stereo disparity knob, VolumeRender.m:275-308).
     """
     diff: Diff = {
         "emission": scene.emission.data,
@@ -71,6 +73,8 @@ def split_scene(scene: Scene, with_camera: bool = False) -> Tuple[Diff, Scene]:
     }
     if with_camera:
         diff["camera_rotation"] = scene.camera.rotation
+        diff["camera_focal"] = jnp.float32(scene.camera.focal_length)
+        diff["camera_distance"] = jnp.float32(scene.camera.distance_to_object)
     if not scene.absorption_aliased:
         diff["absorption"] = scene.absorption.data
     if not scene.reflection_aliased:
@@ -118,8 +122,11 @@ def merge_scene(template: Scene, diff: Diff) -> Scene:
     if "light_colors" in diff:
         kwargs["light_colors"] = diff["light_colors"]
     if "camera_rotation" in diff:
-        kwargs["camera"] = template.camera.replace(
-            rotation=diff["camera_rotation"])
+        cam = template.camera.replace(rotation=diff["camera_rotation"])
+        if "camera_focal" in diff:
+            cam = cam.replace(focal_length=diff["camera_focal"],
+                              distance_to_object=diff["camera_distance"])
+        kwargs["camera"] = cam
     if "gradient_x" in diff:
         kwargs["gradient_x"] = template.gradient_x.replace(data=diff["gradient_x"])
         kwargs["gradient_y"] = template.gradient_y.replace(data=diff["gradient_y"])
@@ -192,17 +199,23 @@ def render_fused(
     the replicas, which at best wastes the fast devices and on the XLA
     CPU simulator can starve the rendezvous into a deadlock.
 
-    camera_grads=True additionally differentiates the camera rotation
-    (O(1)-memory pose gradients through the replay; the scan-path
-    equivalent in tests/test_camera_grad.py rematerializes every step).
+    camera_grads=True additionally differentiates the full camera
+    contract — rotation, focal length, distance to object, and the
+    stereo x offset (SURVEY section 7.4) — with O(1)-memory pose
+    gradients through the replay (the scan-path equivalent in
+    tests/test_camera_grad.py rematerializes every step).
     """
     diff, template = split_scene(scene, with_camera=camera_grads)
+    if camera_grads:
+        # the x offset rides in diff (traced, differentiable); the static
+        # nondiff copy is unused then — 0.0 keeps the jit key stable
+        diff["camera_x_offset"] = jnp.float32(camera_x_offset)
     return _render_fused(
         diff,
         template,
         jnp.asarray(y_offset, jnp.float32),
         opts,
-        float(camera_x_offset),
+        0.0 if camera_grads else float(camera_x_offset),
         int(n_rows) if n_rows is not None else opts.height,
         bool(early_exit),
     )
@@ -214,7 +227,7 @@ def _render_fused(diff, template, y_offset, opts, cam_off, n_rows, early_exit):
     return render_rows(
         scene,
         opts,
-        cam_off,
+        diff.get("camera_x_offset", cam_off),
         y_offset.astype(jnp.int32),
         n_rows,
         differentiable=not early_exit,  # differentiable=True is the
@@ -231,25 +244,36 @@ def _fused_fwd(diff, template, y_offset, opts, cam_off, n_rows, early_exit):
 def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
     diff, template, y_offset, out = residuals
     scene = merge_scene(template, diff)
-    cam_grads = "camera_rotation" in diff
+    cam_keys = [k for k in ("camera_rotation", "camera_focal",
+                            "camera_distance", "camera_x_offset")
+                if k in diff]
+    cam_grads = bool(cam_keys)
 
     consts, origin, pos0, step, tnear, tfar, hit = _init_rays(
-        scene, opts, cam_off, y_offset=y_offset.astype(jnp.int32), n_rows=n_rows
+        scene, opts, diff.get("camera_x_offset", cam_off),
+        y_offset=y_offset.astype(jnp.int32), n_rows=n_rows
     )
     if cam_grads:
         # closed-form pose chain: pos_k = pos0 + k*step with (pos0, step,
-        # origin) affine-in-rotation through ray generation + the box
-        # clip; the replay accumulates their cotangents and one geometry
-        # VJP at the end pulls them back to the rotation matrix
-        def geom(rot):
-            sc = scene.replace(camera=scene.camera.replace(rotation=rot))
+        # origin) closed-form in every camera leaf through ray generation
+        # + the box clip; the replay accumulates their cotangents and one
+        # geometry VJP at the end pulls them back to the rotation matrix,
+        # the intrinsics (focal, distance) and the stereo x offset
+        def geom(cd):
+            cam = scene.camera.replace(
+                rotation=cd.get("camera_rotation", scene.camera.rotation))
+            if "camera_focal" in cd:
+                cam = cam.replace(focal_length=cd["camera_focal"])
+            if "camera_distance" in cd:
+                cam = cam.replace(distance_to_object=cd["camera_distance"])
+            sc = scene.replace(camera=cam)
             _, o_, p0_, st_, _, _, _ = _init_rays(
-                sc, opts, cam_off, y_offset=y_offset.astype(jnp.int32),
-                n_rows=n_rows)
+                sc, opts, cd.get("camera_x_offset", cam_off),
+                y_offset=y_offset.astype(jnp.int32), n_rows=n_rows)
             return p0_, st_, o_
 
         (pos0, step, origin), geom_vjp = jax.vjp(
-            geom, diff["camera_rotation"])
+            geom, {k: diff[k] for k in cam_keys})
     params = core.params_of(scene, consts)
     lighting = scene.has_lighting
     lookup = scene.has_gradient_volumes
@@ -428,8 +452,9 @@ def _fused_bwd(opts, cam_off, n_rows, early_exit, residuals, g):
         d_diff["gradient_y"] = acc["gradient_y"].reshape(scene.gradient_y.data.shape)
         d_diff["gradient_z"] = acc["gradient_z"].reshape(scene.gradient_z.data.shape)
     if cam_grads:
-        (d_diff["camera_rotation"],) = geom_vjp(
+        (d_cam,) = geom_vjp(
             (acc["d_pos0"], acc["d_step"], acc["d_origin"]))
+        d_diff.update(d_cam)
 
     d_template = jax.tree.map(jnp.zeros_like, template)
     d_y_offset = jnp.zeros_like(residuals[2])

@@ -79,7 +79,10 @@ HALO = 2  # rows each side: trilinear needs +-1, OTF gradient taps +-2
 
 def _check_divisible(scene: Scene, n: int) -> None:
     def chk(name, vol):
-        if vol is not None and vol.data.shape[0] % n != 0:
+        # depth-1 volumes (e.g. the facade's Volume(1) reflection
+        # default, VolumeRender.m:131) replicate instead of sharding
+        if vol is not None and vol.data.shape[0] > 1 \
+                and vol.data.shape[0] % n != 0:
             raise ValueError(
                 f"{name} depth {vol.data.shape[0]} must be divisible by the "
                 f"brick mesh size {n} (pad the volume)"
@@ -104,7 +107,7 @@ def _brick_specs(scene: Scene, axis_name: str):
     kwargs = dict(emission=vspec(specs.emission))
     if scene.absorption is not None:
         kwargs["absorption"] = vspec(specs.absorption)
-    if scene.reflection is not None:
+    if scene.reflection is not None and scene.reflection.data.shape[0] > 1:
         kwargs["reflection"] = vspec(specs.reflection)
     if scene.has_gradient_volumes:
         kwargs["gradient_x"] = vspec(specs.gradient_x)
