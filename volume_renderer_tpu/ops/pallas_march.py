@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -91,6 +92,9 @@ class _KCfg(NamedTuple):
     lookup: bool = False  # lighting with PRECOMPUTED gradient volumes
     # (reference example1_grad / volumeRender_kernel.cu:266-276): three
     # more 2-slice windows replace the OTF tap machinery
+    rs: int = 0  # scatter A-block rows (<= wr); the launcher ladder
+    # widens it (wr//2 -> wr) for slabs whose row footprint overflows
+    k: int = 8  # march steps per chunk (the (k*8, 128) sample batch)
     brick: bool = False  # z-brick segment march: the volume is one
     # halo-padded local brick, ww seeds from the gt input (entry opacity
     # from the two-phase transmittance relay, parallel/bricks.py), samples
@@ -162,7 +166,8 @@ def _mxu_t(a, ident):
         preferred_element_type=jnp.float32)
 
 
-def _scatter_chunk(cfg: "_KCfg", sarr_ref, gwin_ref, nblk):
+def _scatter_chunk(cfg: "_KCfg", sarr_ref, gwin_ref, spec, ny, nx,
+                   r8, seg_lo, n_segs):
     """Scatter-add one chunk's per-sample cotangents into the grad windows.
 
     Round-5 restructure of the MXU one-hot scatter
@@ -198,83 +203,179 @@ def _scatter_chunk(cfg: "_KCfg", sarr_ref, gwin_ref, nblk):
     Samples masked inactive carry zero cotangents, so dead groups
     contribute exactly nothing. Adjoint of the reference march,
     volumeRender_kernel.cu:365-507.
+
+    Round-5 footprint reductions, all driven by plan-table scalars (no
+    vector->scalar extractions):
+
+    - A-blocks span RS = wr // 2 rows at the slab's own 8-aligned row
+      base ``r8`` (plan r_lo) instead of the full window — the typical
+      slab footprint is ~20 rows of a 64-row window, so this halves (or
+      better) both the A build and the matmul; slabs that genuinely
+      exceed RS are flagged by the plan's scat_ovf and retry at wr=128
+      (RS=64), beyond which the replay fallback serves them;
+    - the X hat builds and contracts ONE 128-lane window segment per
+      iteration of a ``n_segs``-trip loop over the slab's touched
+      segments ([seg_lo, seg_lo+n_segs)) — at WC=256 almost every slab
+      touches one; cross-segment fractional corners split naturally
+      (the hat of the shifted coordinate is nonzero in exactly the
+      segment(s) holding each corner);
+    The lit backward reuses this machinery through the ``spec``
+    generalization: samples may carry several distinct hat positions
+    (the main corners plus the OTF tap corners) and several cotangent
+    roles. ``sarr`` rows are laid out as [2*ny y-(corner, frac) pairs |
+    2*nx x-pairs | dv rows]; ``spec`` is a static tuple of matmul
+    groups ``(x_id, blocks)`` — each group contracts ONE x hat against
+    a stack of A-blocks, where block ``(gwin_block, terms)`` sums
+    ``y_hat[y_id] * dv_row`` over its ``(y_id, dv_row)`` terms (e.g. a
+    4-slice emission block sums the main fetch and both row-tap
+    cotangents, each under its own y hat, into one matmul operand).
+    Blocks of different groups may target the same gwin block (the
+    x-tap matmuls accumulate into the emission blocks).
     """
-    KS = _K * 8
-    WR, WC = cfg.wr, cfg.wc
+    KS = cfg.k * 8
+    RS = cfg.rs
     f32 = jnp.float32
+    import os as _os
+    _probe = _os.environ.get("VRT_SCATTER_PROBE", "")
+    # NB a dynamic group-loop trip bound is SLOWER (-11% round 4,
+    # reconfirmed round 5): variable-trip lowering costs more than the
+    # skipped dead tail groups save; the loop runs all KS groups.
 
-    riota = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 0).astype(f32)
-    ciota = jax.lax.broadcasted_iota(jnp.int32, (WC, 128), 0).astype(f32)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (RS, 128), 0).astype(f32)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0).astype(f32)
+    r8f = r8.astype(f32)
+    dv0 = 2 * (ny + nx)
 
-    def body(i, acc):
-        def row(a, nrows):
-            return jnp.broadcast_to(
-                sarr_ref[a, i, :].reshape(1, 128), (nrows, 128))
+    # G sublane groups batch into ONE contraction by concatenating their
+    # samples along the lane (contraction) axis — identical MACs, G-fold
+    # fewer matmul issues. Measured round 5: with the hat BUILD removed
+    # the scatter time barely moved, i.e. per-matmul issue/pipeline
+    # overhead (not MACs, not the build) dominated the 64-small-matmul
+    # structure; lane-batching attacks exactly that.
+    G = 8
 
-        y_hat = jnp.maximum(
-            0.0, 1.0 - jnp.abs((row(0, WR) - riota) + row(1, WR)))
-        x_hat = jnp.maximum(
-            0.0, 1.0 - jnp.abs((row(2, WC) - ciota) + row(3, WC)))
-        a_blocks = [y_hat * row(4 + b, WR) for b in range(nblk)]
-        a_full = (a_blocks[0] if nblk == 1
-                  else jnp.concatenate(a_blocks, axis=0))
-        # DEFAULT (one bf16 MXU pass) measured against HIGHEST (fp32
-        # contraction, ~4x passes) at 64^3: the gradient error vs the
-        # replay VJP is IDENTICAL (relmax 8.9e-3 at one boundary voxel,
-        # relL2 3e-4) — the replay's (tot - prefix) cancellation
-        # dominates, not matmul rounding — while HIGHEST cost +0.7 s of
-        # 6.3 s on the 256^3 scatter pass. DEFAULT it is.
-        return acc + jax.lax.dot_general(
-            a_full, x_hat, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
+    def one_seg(seg, cbase):
+        def body(sup, accs):
+            def row(a, i, nrows):
+                return jnp.broadcast_to(
+                    sarr_ref[a, i, :].reshape(1, 128), (nrows, 128))
 
-    # NB a dynamic trip bound (last active sublane group) was measured
-    # SLOWER at 256^3 (-11%): the variable-trip lowering costs more than
-    # the skipped tail groups save; the loop runs all KS groups.
-    acc = jax.lax.fori_loop(
-        0, KS, body, jnp.zeros((nblk * WR, WC), f32))
-    for b in range(nblk):
-        gwin_ref[b] += acc[b * WR:(b + 1) * WR]
+            y_cat = []   # per y-hat id: list of per-sub (RS, 128)
+            x_cat = []
+            blk_cat = {}  # (group idx, block idx) -> per-sub arrays
+            for sub in range(G):
+                i = sup * G + sub
+                y_hats = [jnp.maximum(
+                    0.0, 1.0 - jnp.abs(((row(2 * t, i, RS) - r8f) - riota)
+                                       + row(2 * t + 1, i, RS)))
+                    for t in range(ny)]
+                x_hats = [jnp.maximum(
+                    0.0, 1.0 - jnp.abs(
+                        ((row(2 * ny + 2 * t, i, 128) - cbase) - ciota)
+                        + row(2 * ny + 2 * t + 1, i, 128)))
+                    for t in range(nx)]
+                x_cat.append(x_hats)
+                for gi, (x_id, blocks) in enumerate(spec):
+                    for bi, (_, terms) in enumerate(blocks):
+                        ab = None
+                        for y_id, dv in terms:
+                            term = y_hats[y_id] * row(dv0 + dv, i, RS)
+                            ab = term if ab is None else ab + term
+                        blk_cat.setdefault((gi, bi), []).append(ab)
+            outs = []
+            for gi, ((x_id, blocks), acc) in enumerate(zip(spec, accs)):
+                a_full = jnp.concatenate(
+                    [jnp.concatenate(blk_cat[(gi, bi)], axis=1)
+                     for bi in range(len(blocks))], axis=0)
+                x_full = jnp.concatenate(
+                    [xh[x_id] for xh in x_cat], axis=1)
+                if _probe == "nobuild":  # perf probe: contraction only
+                    a_full = jnp.broadcast_to(
+                        x_full[0:1, :] * 0.0 + 1.0,
+                        (len(blocks) * RS, 128 * G))
+                # DEFAULT (one bf16 MXU pass) measured against HIGHEST
+                # (fp32, ~4x passes) at 64^3: gradient error vs the
+                # replay VJP is IDENTICAL (the replay's (tot - prefix)
+                # cancellation dominates, not matmul rounding) while
+                # HIGHEST cost +29% scatter time.
+                outs.append(acc + jax.lax.dot_general(
+                    a_full, x_full, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32))
+            return tuple(outs)
+
+        accs0 = tuple(jnp.zeros((len(blocks) * RS, 128), f32)
+                      for _, blocks in spec)
+        accs = jax.lax.fori_loop(0, KS // G, body, accs0)
+        # gwin rows are (seg, window-row) flattened: seg*WR + r8 is
+        # 8-aligned (WR mult of 8, r8 aligned), one traced sublane slice
+        base = pl.multiple_of(seg * cfg.wr + r8, 8)
+        for (_, blocks), acc in zip(spec, accs):
+            for bi, (blk, _) in enumerate(blocks):
+                gwin_ref[blk, pl.ds(base, RS), :] += (
+                    acc[bi * RS:(bi + 1) * RS])
+
+    if cfg.wc == 128:
+        # one window segment exists; seg_lo is always 0 — specialize
+        # away the segment loop entirely
+        one_seg(jnp.int32(0), jnp.float32(0.0))
+    else:
+        def seg_body(si, _):
+            seg = seg_lo + si
+            one_seg(seg, (seg * 128).astype(f32))
+            return 0
+
+        jax.lax.fori_loop(0, n_segs, seg_body, 0)
 
 
 def _rmw_grad_windows(cfg: "_KCfg", s, y0w, x0w, gwin_ref, gem_ref, gab_ref,
-                      rmw_ref, rsem):
+                      rmw_ref, rsem, gre_ref=None, zs0=None):
     """Accumulate the slab's grad windows into the HBM grids.
 
-    Read-modify-write of the (wr, 128) window segments for both slices
-    (s, s+1) of every (role, z) block. All reads are issued before any
+    Read-modify-write of the (wr, 128) window segments of every
+    (role, z) block. Lighting off: 2 slices (s, s+1) per role. Lighting
+    on (OTF): the EMISSION blocks span the 4-slice tap window
+    (zs0..zs0+3, the same slices the forward's tap gathers read) and
+    absorption/reflection keep 2 slices. All reads are issued before any
     wait; all writes are waited before returning, so the next slab's
-    reads of the shared slice s+1 observe this slab's contribution. The
+    reads of the shared slices observe this slab's contribution. The
     sequential TPU grid makes the cross-tile accumulation race-free.
     """
     nseg = cfg.wc // 128
-    nblk = 2 if cfg.ab_aliased else 4
     plan = []
     k = 0
-    for b in range(nblk):
-        ref = gem_ref if b < 2 else gab_ref
-        z = b % 2
+    if cfg.lighting:
+        rolezs = [(gem_ref, zs0, j) for j in range(4)]
+        if not cfg.ab_aliased:
+            rolezs += [(gab_ref, s, z) for z in (0, 1)]
+        if not cfg.re_aliased:
+            rolezs += [(gre_ref, s, z) for z in (0, 1)]
+    else:
+        nblk = 2 if cfg.ab_aliased else 4
+        rolezs = [(gem_ref if b < 2 else gab_ref, s, b % 2)
+                  for b in range(nblk)]
+    for b, (ref, zb, z) in enumerate(rolezs):
         for seg in range(nseg):
-            plan.append((k, ref, z, seg, b))
+            plan.append((k, ref, zb, z, seg, b))
             k += 1
 
-    def cp(k, ref, z, seg, to_hbm):
+    def cp(k, ref, zb, z, seg, to_hbm):
         xs = pl.multiple_of(x0w + seg * 128, 128)
-        hbm = ref.at[s + z, pl.ds(y0w, cfg.wr), pl.ds(xs, 128)]
+        hbm = ref.at[zb + z, pl.ds(y0w, cfg.wr), pl.ds(xs, 128)]
         buf = rmw_ref.at[k]
         src, dst = (buf, hbm) if to_hbm else (hbm, buf)
         return pltpu.make_async_copy(src, dst, rsem.at[k])
 
-    for k, ref, z, seg, b in plan:
-        cp(k, ref, z, seg, False).start()
-    for k, ref, z, seg, b in plan:
-        cp(k, ref, z, seg, False).wait()
-    for k, ref, z, seg, b in plan:
-        rmw_ref[k] += gwin_ref[b, 0:cfg.wr, seg * 128:(seg + 1) * 128]
-    for k, ref, z, seg, b in plan:
-        cp(k, ref, z, seg, True).start()
-    for k, ref, z, seg, b in plan:
-        cp(k, ref, z, seg, True).wait()
+    for k, ref, zb, z, seg, b in plan:
+        cp(k, ref, zb, z, seg, False).start()
+    for k, ref, zb, z, seg, b in plan:
+        cp(k, ref, zb, z, seg, False).wait()
+    for k, ref, zb, z, seg, b in plan:
+        # gwin layout: (nblk, nseg * wr, 128) — rows seg*wr..seg*wr+wr
+        rmw_ref[k] += gwin_ref[b, seg * cfg.wr:(seg + 1) * cfg.wr, :]
+    for k, ref, zb, z, seg, b in plan:
+        cp(k, ref, zb, z, seg, True).start()
+    for k, ref, zb, z, seg, b in plan:
+        cp(k, ref, zb, z, seg, True).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +417,39 @@ def _vangle(ax, ay, az, bx, by, bz):
     return _acos(jnp.clip(ratio, -1.0, 1.0))
 
 
-def _lut_fetch(cfg: "_KCfg", lut_ref, act, a, b, g):
+def _vangle_bwd(ax, ay, az, bx, by, bz, d_ang):
+    """Analytic VJP of ``_vangle`` (guards mirrored from the forward).
+
+    angle = acos(clip(r)) with r = (a.b) * rsqrt(|a|^2 |b|^2); the
+    gradient d r/d a_i = b_i/(|a||b|) - r a_i/|a|^2 (and symmetrically
+    for b) times d acos = -1/sqrt(1 - r^2), zeroed where the forward's
+    degenerate-length guard clamps (d2 <= eps2) and where |r| -> 1 makes
+    acos' singular (the XLA replay produces inf there; the kernel's
+    backward returns 0 — parallel vectors are a measure-zero event for
+    real volume normals and a zero subgradient is the stable choice).
+    Returns (dax, day, daz, dbx, dby, dbz).
+    """
+    a2 = ax * ax + ay * ay + az * az
+    b2 = bx * bx + by * by + bz * bz
+    d2 = a2 * b2
+    safe = d2 > _ANGLE_EPS2
+    il = jnp.where(safe, jax.lax.rsqrt(jnp.where(safe, d2, 1.0)), 0.0)
+    dotp = ax * bx + ay * by + az * bz
+    r = jnp.clip(jnp.where(safe, dotp * il, 0.0), -1.0, 1.0)
+    s2 = 1.0 - r * r
+    ok = safe & (s2 > 1e-12)
+    dacos = jnp.where(
+        ok, -jax.lax.rsqrt(jnp.where(ok, s2, 1.0)), 0.0) * d_ang
+    inv_a2 = jnp.where(safe, 1.0 / jnp.where(safe, a2, 1.0), 0.0)
+    inv_b2 = jnp.where(safe, 1.0 / jnp.where(safe, b2, 1.0), 0.0)
+    ra = r * inv_a2
+    rb = r * inv_b2
+    return (dacos * (bx * il - ra * ax), dacos * (by * il - ra * ay),
+            dacos * (bz * il - ra * az), dacos * (ax * il - rb * bx),
+            dacos * (ay * il - rb * by), dacos * (az * il - rb * bz))
+
+
+def _lut_fetch(cfg: "_KCfg", lut_ref, act, a, b, g, with_grad: bool = False):
     """CUDA-semantics trilinear fetch of the illumination LUT at the
     normalized angle triple (a, b, g) for every sample of a chunk block.
 
@@ -332,8 +465,15 @@ def _lut_fetch(cfg: "_KCfg", lut_ref, act, a, b, g):
     toward L*SEGS iterations, never worse than the XLA gather fallback.
     Exact trilinear-of-grid semantics (ops/sampling.py): u = c*L - 0.5,
     corner clamp, fractional weights from the unclamped floor.
+
+    ``with_grad=True`` additionally returns the coordinate derivatives
+    (d val / d a, d b, d g) — the trilinear lerp differences times L
+    (u = c*L - 0.5 so du/dc = L), accumulated from the SAME corner
+    fetches. Clamped corner pairs are equal, so edge derivatives vanish
+    exactly as autodiff of the clamped fetch does. Returns
+    (val, da, db, dg) then.
     """
-    KS = _K * 8
+    KS = cfg.k * 8
     L, SEGS = cfg.lut_l, cfg.lut_segs
     f32 = jnp.float32
 
@@ -360,32 +500,52 @@ def _lut_fetch(cfg: "_KCfg", lut_ref, act, a, b, g):
     count = jnp.maximum(0, b_hi - b_lo + 1) * jnp.maximum(0, nseg)
 
     fa1, fb1, fg1 = 1.0 - fa, 1.0 - fb, 1.0 - fg
+    # per-corner (value weight, d/dfa weight, d/dfg weight)
     corners = (
-        (idx_lo, fg1 * fa1),
-        (g0 * L + a1, fg1 * fa),
-        (g1 * L + a0, fg * fa1),
-        (idx_hi, fg * fa),
+        (idx_lo, fg1 * fa1, -fg1, -fa1),
+        (g0 * L + a1, fg1 * fa, fg1, -fa),
+        (g1 * L + a0, fg * fa1, -fg, fa1),
+        (idx_hi, fg * fa, fg, fa),
     )
 
-    def it(t, acc):
+    zero = jnp.zeros((KS, 128), f32)
+
+    def it(t, accs):
+        acc, aa, ab_, ag = accs
         bq = b_lo + t // nseg
         seg = s_lo + t % nseg
         row = jnp.broadcast_to(
             lut_ref[bq * SEGS + seg, :].reshape(1, 128), (KS, 128))
         wb = (jnp.where(b0 == bq, fb1, 0.0) + jnp.where(b1 == bq, fb, 0.0))
-        val = jnp.zeros((KS, 128), f32)
-        for idx, w in corners:
+        val = zero
+        da = zero
+        dg = zero
+        for idx, w, wa, wg in corners:
             m = (idx // 128) == seg
             lane = jnp.clip(idx - seg * 128, 0, 127)
             v = jnp.take_along_axis(row, lane, axis=-1)
-            val = val + jnp.where(m, v * w, 0.0)
-        return acc + val * wb
+            vm = jnp.where(m, v, 0.0)
+            val = val + vm * w
+            if with_grad:
+                da = da + vm * wa
+                dg = dg + vm * wg
+        if with_grad:
+            dwb = (jnp.where(b0 == bq, -1.0, 0.0)
+                   + jnp.where(b1 == bq, 1.0, 0.0))
+            return (acc + val * wb, aa + da * wb, ab_ + val * dwb,
+                    ag + dg * wb)
+        return (acc + val * wb, aa, ab_, ag)
 
-    return jax.lax.fori_loop(0, count, it, jnp.zeros((KS, 128), f32))
+    out = jax.lax.fori_loop(0, count, it, (zero, zero, zero, zero))
+    if with_grad:
+        lf = jnp.float32(L)
+        return out[0], out[1] * lf, out[2] * lf, out[3] * lf
+    return out[0]
 
 
 def _window_plans(S: int, ascending: bool, H: int, W: int, hp: int, wp: int,
-                  wr: int, wc: int, x0v, xsv, y0v, ysv, u0v, av, icap, hit,
+                  wr: int, wc: int, rs: int, k: int,
+                  x0v, xsv, y0v, ysv, u0v, av, icap, hit,
                   margin_y=None, margin_x=None):
     """Per-(tile, slab) window plan, precomputed in XLA.
 
@@ -404,10 +564,20 @@ def _window_plans(S: int, ascending: bool, H: int, W: int, hp: int, wp: int,
     fall back exactly as before), and terminated tiles still skip whole
     slabs via the in-kernel any_live gate.
 
-    Returns ``(plans, ovf_any)``: plans int32 (n_tiles, S, 8) with
-    fields [y0w, x0w, n_chunks, r_lo, n_rows, ovf, 0, 0].
+    Returns ``(plans, ovf_any, scat_ovf_any)``: plans int32
+    (n_tiles, S, 10) with fields [y0w, x0w, n_chunks, r_lo, n_rows, ovf,
+    nmax, scat_ovf, seg_lo, n_segs].
     Formulas mirror the round-4 in-kernel ``slab_ranges``/``ext`` exactly
     (same FP ops in the same order), minus the live-set ww term.
+
+    The scatter-mode extras: ``nmax`` bounds the group loop (dead
+    step-slots past every ray's own range are skipped), ``seg_lo`` /
+    ``n_segs`` give the slab's touched 128-lane window segments (the X
+    hat builds and contracts only those), and ``scat_ovf`` flags slabs
+    whose row footprint exceeds the scatter's RS-row A-block — stricter
+    than ``ovf``, applied only by the scatter launcher (forward windows
+    still span the full wr rows; the scatter ladder widens rs on
+    overflow).
     """
     f32 = jnp.float32
     icap_f = icap.astype(f32)
@@ -462,8 +632,13 @@ def _window_plans(S: int, ascending: bool, H: int, W: int, hp: int, wp: int,
         ovf = ((ymx - y0w >= wr) | (xmx - x0w >= wc)).astype(jnp.int32)
         n_rows = jnp.clip(ymx - y0w + 1, 1, wr)
         r_lo = jnp.clip(ymn - y0w, 0, wr - 1)
+        scat_ovf = (ovf | (n_rows - jnp.clip((r_lo // 8) * 8, 0, wr - rs)
+                           > rs).astype(jnp.int32))
+        seg_lo = jnp.clip(xmn - x0w, 0, wc - 1) // 128
+        seg_hi = jnp.clip(xmx - x0w, 0, wc - 1) // 128
+        n_segs = jnp.maximum(seg_hi - seg_lo + 1, 1)
         nmax = jnp.max(jnp.where(mask, hi - lo, 0), axis=(1, 2))
-        n_chunks = (nmax + (_K - 1)) // _K
+        n_chunks = (nmax + (k - 1)) // k
         any_m = jnp.any(mask, axis=(1, 2))
         z = jnp.zeros_like(y0w)
         return jnp.stack([
@@ -472,17 +647,23 @@ def _window_plans(S: int, ascending: bool, H: int, W: int, hp: int, wp: int,
             jnp.where(any_m, n_chunks, 0),
             jnp.where(any_m, r_lo, 0),
             jnp.where(any_m, n_rows, 1),
-            jnp.where(any_m, ovf, 0), z, z], axis=-1)
+            jnp.where(any_m, ovf, 0),
+            jnp.where(any_m, nmax, 0),
+            jnp.where(any_m, scat_ovf, 0),
+            jnp.where(any_m, seg_lo, 0),
+            jnp.where(any_m, n_segs, 1)], axis=-1)
 
-    plans = jax.lax.map(one, jnp.arange(S))  # (S, n_tiles, 8)
+    plans = jax.lax.map(one, jnp.arange(S))  # (S, n_tiles, 10)
     plans = jnp.transpose(plans, (1, 0, 2))
     ovf_any = jnp.any(plans[:, :, 5] != 0)
-    return plans, ovf_any
+    scat_ovf_any = jnp.any(plans[:, :, 7] != 0)
+    return plans, ovf_any, scat_ovf_any
 
 
 def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                   gt_ref, plan_ref, out_ref, wem, wab, sems,
-                  gem_ref=None, gab_ref=None, gwin=None, rmw=None, rsem=None,
+                  gem_ref=None, gab_ref=None, gre_ref=None, gwin=None,
+                  rmw=None, rsem=None,
                   sarr=None, lut_ref=None, re_ref=None, wre=None,
                   g_refs=None, wg=None):
     """One image tile: sweep all slice pairs, composite, write (4,8,128).
@@ -496,7 +677,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
     D, H, W = cfg.d, cfg.h, cfg.w
     WR, WC = cfg.wr, cfg.wc
     S = D - 1  # sweep positions (slice pairs)
-    K = _K
+    K = cfg.k
     KS = K * 8
 
     x0v = rayf_ref[0, 0]
@@ -509,9 +690,15 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
     hit = rayi_ref[0, 1] != 0
     if cfg.grad_mode:
         gcolb = jnp.broadcast_to(gt_ref[0, 0].reshape(1, 8, 128),
-                                 (_K, 8, 128)).reshape(_K * 8, 128)
+                                 (K, 8, 128)).reshape(K * 8, 128)
         totb = jnp.broadcast_to(gt_ref[0, 1].reshape(1, 8, 128),
-                                (_K, 8, 128)).reshape(_K * 8, 128)
+                                (K, 8, 128)).reshape(K * 8, 128)
+        if cfg.lighting:
+            # lit grads need the raw per-channel pixel cotangents
+            # (shading couples channels through the light colors)
+            gRb, gGb, gBb = (jnp.broadcast_to(
+                gt_ref[0, 2 + c].reshape(1, 8, 128),
+                (K, 8, 128)).reshape(K * 8, 128) for c in range(3))
 
     tstep = consts_ref[0]
     fem = consts_ref[1]
@@ -598,7 +785,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
 
     def slab_body(j, carry):
         if cfg.grad_mode:
-            rr, gg, bb, ww, pref, eac, fac = carry
+            rr, gg, bb, ww, pref, eac, fac, extra = carry
         else:
             rr, gg, bb, ww = carry
         s = j if cfg.ascending else S - 1 - j
@@ -609,7 +796,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
 
         def run(carry):
             if cfg.grad_mode:
-                rr, gg, bb, ww, pref, eac, fac = carry
+                rr, gg, bb, ww, pref, eac, fac, extra = carry
             else:
                 rr, gg, bb, ww = carry
             lof = lo.astype(jnp.float32)
@@ -624,6 +811,11 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
             n_chunks = plan_ref[0, s, 2]
             r_lo = plan_ref[0, s, 3]
             n_rows = plan_ref[0, s, 4]
+            if cfg.scatter:
+                nmax_s = plan_ref[0, s, 6]
+                seg_lo_s = plan_ref[0, s, 8]
+                n_segs_s = plan_ref[0, s, 9]
+                r8_s = jnp.clip((r_lo // 8) * 8, 0, WR - cfg.rs)
 
             nseg = WC // 128
             copies = []
@@ -702,7 +894,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
 
             def chunk_body(c, c2):
                 if cfg.grad_mode:
-                    rr, gg, bb, ww, pref, eac, fac = c2
+                    rr, gg, bb, ww, pref, eac, fac, extra = c2
                 else:
                     rr, gg, bb, ww = c2
                 kb = lob + (c * K).astype(jnp.float32) + kofs
@@ -823,10 +1015,10 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                             r0 = jnp.clip(jnp.clip(yi_, 0, H - 1) - y0w, 0, WR - 1)
                             r1 = jnp.clip(jnp.clip(yi_ + 1, 0, H - 1) - y0w,
                                           0, WR - 1)
-                            return r0, r1, fy_
+                            return r0, r1, fy_, yi_
 
-                        wyp0, wyp1, fyp = tapy(y + off_rw)
-                        wym0, wym1, fym = tapy(y - off_rw)
+                        wyp0, wyp1, fyp, yip = tapy(y + off_rw)
+                        wym0, wym1, fym, yim = tapy(y - off_rw)
 
                         def tapx(xx):
                             xf_ = jnp.floor(xx)
@@ -934,9 +1126,17 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                     reflection = f_re * re_s
 
                     inv_pi = jnp.float32(1.0 / _PI)
+                    em_term = fem * em_s * tstep
+                    ta = t_k * alpha
+                    grad = cfg.grad_mode  # OTF only: the launcher routes
+                    # lookup-mode gradient scenes to the replay fallback
                     shade_r = zero
                     shade_g = zero
                     shade_b = zero
+                    if grad:
+                        lsum = zero      # sum_il lutv * (g . wlc_il)
+                        p_chans = []     # per (il, c): ta g_c f_re re lut
+                        dn_x = dn_y = dn_z = zero
                     for il in range(cfg.n_lights):
                         base = 14 + 6 * il
                         lox = consts_ref[base] - pxw
@@ -950,15 +1150,57 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                         lopz = loz - dot_lo_n * nz
                         gang = _vangle(lipx, lipy, lipz,
                                        lopx, lopy, lopz) * inv_pi
-                        lutv = _lut_fetch(cfg, lut_ref, act,
-                                          aang, bang, gang)
+                        if grad and cfg.scatter:
+                            lutv, d_la, d_lb, d_lg = _lut_fetch(
+                                cfg, lut_ref, act, aang, bang, gang,
+                                with_grad=True)
+                        else:
+                            lutv = _lut_fetch(cfg, lut_ref, act,
+                                              aang, bang, gang)
                         contrib = reflection * lutv
                         shade_r = shade_r + contrib * consts_ref[base + 3]
                         shade_g = shade_g + contrib * consts_ref[base + 4]
                         shade_b = shade_b + contrib * consts_ref[base + 5]
+                        if grad:
+                            # g . wlc_il — the per-ray upstream weight of
+                            # this light's contribution
+                            gwl = (gRb * consts_ref[base + 3]
+                                   + gGb * consts_ref[base + 4]
+                                   + gBb * consts_ref[base + 5])
+                            lsum = lsum + lutv * gwl
+                            frr = jnp.where(act, ta * f_re * re_s, 0.0)
+                            p_chans += [frr * gRb * lutv,
+                                        frr * gGb * lutv,
+                                        frr * gBb * lutv]
+                        if grad and cfg.scatter:
+                            # shading-chain cotangents: d lut -> d angles
+                            # -> d normal (the projections' VJPs pull the
+                            # gang path back to n as well)
+                            dlut = jnp.where(act, ta * f_re * re_s * gwl,
+                                             0.0)
+                            dax, day, daz, _, _, _ = _vangle_bwd(
+                                nx, ny, nz, lix, liy, liz,
+                                dlut * d_la * inv_pi)
+                            dbx, dby, dbz, _, _, _ = _vangle_bwd(
+                                nx, ny, nz, lox, loy, loz,
+                                dlut * d_lb * inv_pi)
+                            ux, uy, uz, vx, vy, vz = _vangle_bwd(
+                                lipx, lipy, lipz, lopx, lopy, lopz,
+                                dlut * d_lg * inv_pi)
+                            # lip = li - (li.n) n  =>  dn -= (u.n) li +
+                            # (li.n) u (and symmetrically for lop)
+                            un = ux * nx + uy * ny + uz * nz
+                            vn = vx * nx + vy * ny + vz * nz
+                            dn_x = (dn_x + dax + dbx
+                                    - un * lix - dot_li_n * ux
+                                    - vn * lox - dot_lo_n * vx)
+                            dn_y = (dn_y + day + dby
+                                    - un * liy - dot_li_n * uy
+                                    - vn * loy - dot_lo_n * vy)
+                            dn_z = (dn_z + daz + dbz
+                                    - un * liz - dot_li_n * uz
+                                    - vn * loz - dot_lo_n * vz)
 
-                    em_term = fem * em_s * tstep
-                    ta = t_k * alpha
                     cr = jnp.where(act, ta * (em_term * col_r + shade_r), 0.0)
                     cg = jnp.where(act, ta * (em_term * col_g + shade_g), 0.0)
                     cb = jnp.where(act, ta * (em_term * col_b + shade_b), 0.0)
@@ -969,7 +1211,148 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                     aq2 = jnp.where(act, alpha, 0.0)
                     p_full = scan_mul(1.0 - aq2)[KS - 8:KS, :]
                     new_ww = 1.0 - (1.0 - ww) * p_full
-                    return (rr, gg, bb, new_ww)
+                    if not grad:
+                        return (rr, gg, bb, new_ww)
+
+                    # ---- lit replay: transfer/light gradients + scatter
+                    # (formulas: docs/pallas_backward_design.md with the
+                    # unlit source em' (g.col) generalized to sdot = g .
+                    # (em' col + shade); reference volumeRender_kernel.cu:
+                    # 308-353 is the chain being adjoint-ed) ----
+                    sdot = (em_term * gcolb + gRb * shade_r
+                            + gGb * shade_g + gBb * shade_b)
+                    contrib_g = jnp.where(act, ta * sdot, 0.0)
+                    cg_scan = scan_add(contrib_g)
+                    pref_incl = rep(pref) + cg_scan
+                    e_chunk = scan_add(
+                        jnp.where(act, ta * em_s, 0.0))[KS - 8:KS, :]
+                    fab_term = jnp.where(
+                        act,
+                        ab_s * tstep * (sdot * t_k * (1.0 - alpha)
+                                        - (totb - pref_incl)),
+                        0.0)
+                    f_chunk = scan_add(fab_term)[KS - 8:KS, :]
+                    pref = pref + cg_scan[KS - 8:KS, :]
+                    rac = extra[0] + scan_add(
+                        jnp.where(act, ta * re_s * lsum, 0.0))[KS - 8:KS, :]
+                    pch = tuple(
+                        extra[1 + i] + scan_add(p_chans[i])[KS - 8:KS, :]
+                        for i in range(3 * cfg.n_lights))
+                    extra_new = (rac,) + pch
+
+                    if cfg.scatter:
+                        # normal -> world-gradient vector: n = -g/|g|
+                        dng = dn_x * gxw + dn_y * gyw + dn_z * gzw
+                        il3 = inv_len * inv_len * inv_len
+                        dgx = (-inv_len) * dn_x + dng * il3 * gxw
+                        dgy = (-inv_len) * dn_y + dng * il3 * gyw
+                        dgz = (-inv_len) * dn_z + dng * il3 * gzw
+                        dcomp = {"x": dgx, "y": dgy, "z": dgz}
+                        rolesv = _AXIS_SETUP[cfg.axis][1]
+                        dsw = 0.5 * dcomp[rolesv[0]]
+                        drw = 0.5 * dcomp[rolesv[1]]
+                        dlw = 0.5 * dcomp[rolesv[2]]
+
+                        dv_em = jnp.where(
+                            act, ta * (fem * tstep) * gcolb, 0.0)
+                        dv_ab = jnp.where(
+                            act,
+                            (fab * tstep) * (sdot * t_k * (1.0 - alpha)
+                                             - (totb - pref_incl)),
+                            0.0)
+                        dv_re = jnp.where(act, ta * f_re * lsum, 0.0)
+                        dv_all = dv_em
+                        if cfg.ab_aliased:
+                            dv_all = dv_all + dv_ab
+                        if cfg.re_aliased:
+                            dv_all = dv_all + dv_re
+
+                        # hat frac rows, volume-edge-clamp zeroed
+                        fry = jnp.where((yi < 0) | (yi >= H - 1), 0.0, fy)
+                        frx = jnp.where((xi < 0) | (xi >= W - 1), 0.0, fx)
+                        fryp = jnp.where((yip < 0) | (yip >= H - 1),
+                                         0.0, fyp)
+                        frym = jnp.where((yim < 0) | (yim >= H - 1),
+                                         0.0, fym)
+                        xip = xi + dxp
+                        xim = xi + dxm
+                        xp0 = jnp.clip(jnp.clip(xip, 0, W - 1) - x0w,
+                                       0, WC - 1)
+                        xm0_t = jnp.clip(jnp.clip(xim, 0, W - 1) - x0w,
+                                         0, WC - 1)
+                        frxp = jnp.where((xip < 0) | (xip >= W - 1),
+                                         0.0, fxp)
+                        frxm = jnp.where((xim < 0) | (xim >= W - 1),
+                                         0.0, fxm)
+
+                        # 4-slice z weights (emission window zs0..zs0+3)
+                        zf4 = [jnp.where(z0 == zs0 + j, 1.0 - fz, 0.0)
+                               + jnp.where(z1 == zs0 + j, fz, 0.0)
+                               for j in range(4)]
+                        zp4 = [jnp.where(zp0 == zs0 + j, 1.0 - fzp, 0.0)
+                               + jnp.where(zp1 == zs0 + j, fzp, 0.0)
+                               for j in range(4)]
+                        zq4 = [jnp.where(zq0 == zs0 + j, 1.0 - fzq, 0.0)
+                               + jnp.where(zq1 == zs0 + j, fzq, 0.0)
+                               for j in range(4)]
+
+                        def do_scatter(_):
+                            sarr[0] = wy0.astype(jnp.float32)
+                            sarr[1] = fry
+                            sarr[2] = wyp0.astype(jnp.float32)
+                            sarr[3] = fryp
+                            sarr[4] = wym0.astype(jnp.float32)
+                            sarr[5] = frym
+                            sarr[6] = xl0.astype(jnp.float32)
+                            sarr[7] = frx
+                            sarr[8] = xp0.astype(jnp.float32)
+                            sarr[9] = frxp
+                            sarr[10] = xm0_t.astype(jnp.float32)
+                            sarr[11] = frxm
+                            for j in range(4):
+                                sarr[12 + j] = (dv_all * zf4[j]
+                                                + dsw * zp4[j]
+                                                - dsw * zq4[j])
+                                sarr[16 + j] = drw * zf4[j]
+                                sarr[20 + j] = -drw * zf4[j]
+                                sarr[24 + j] = dlw * zf4[j]
+                                sarr[28 + j] = -dlw * zf4[j]
+                            # spec dv indices are RELATIVE to the coord
+                            # rows (dv0 = 12): sarr row = 12 + rel
+                            nb = 4
+                            main_blocks = [
+                                (j, ((0, j), (1, 4 + j),
+                                     (2, 8 + j))) for j in range(4)]
+                            kdv = 32
+                            if not cfg.ab_aliased:
+                                for z in (0, 1):
+                                    sarr[kdv + z] = dv_ab * zfac[z]
+                                    main_blocks.append(
+                                        (nb + z, ((0, kdv - 12 + z),)))
+                                nb += 2
+                                kdv += 2
+                            if not cfg.re_aliased:
+                                for z in (0, 1):
+                                    sarr[kdv + z] = dv_re * zfac[z]
+                                    main_blocks.append(
+                                        (nb + z, ((0, kdv - 12 + z),)))
+                                nb += 2
+                            spec = (
+                                (0, tuple(main_blocks)),
+                                (1, tuple((j, ((0, 12 + j),))
+                                          for j in range(4))),
+                                (2, tuple((j, ((0, 16 + j),))
+                                          for j in range(4))),
+                            )
+                            _scatter_chunk(cfg, sarr, gwin, spec, 3, 3,
+                                           r8_s, seg_lo_s, n_segs_s)
+                            return 0
+
+                        jax.lax.cond(jnp.any(act), do_scatter,
+                                     lambda _: 0, 0)
+
+                    return (rr, gg, bb, new_ww, pref, eac + e_chunk,
+                            fac + f_chunk, extra_new)
 
                 def row_body(r, accs):
                     em_acc, ab_acc = accs
@@ -1066,30 +1449,38 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                         if not cfg.ab_aliased:
                             sarr[6] = dv_ab * zfac[0]
                             sarr[7] = dv_ab * zfac[1]
-                        _scatter_chunk(cfg, sarr, gwin, nblk)
+                        spec = ((0, tuple((b, ((0, b),))
+                                          for b in range(nblk))),)
+                        if os.environ.get(
+                                "VRT_SCATTER_PROBE") != "noscatter":
+                            _scatter_chunk(cfg, sarr, gwin, spec, 1, 1,
+                                           r8_s, seg_lo_s, n_segs_s)
                         return 0
 
                     # post-termination chunks carry zero cotangents: skip
                     # the whole hat/matmul cascade
                     jax.lax.cond(jnp.any(act), do_scatter, lambda _: 0, 0)
                 return (rr, gg, bb, new_ww, pref, eac + e_chunk,
-                        fac + f_chunk)
+                        fac + f_chunk, extra)
 
             if cfg.scatter:
                 gwin[...] = jnp.zeros_like(gwin)
             if cfg.grad_mode:
-                rr, gg, bb, ww, pref, eac, fac = jax.lax.fori_loop(
+                rr, gg, bb, ww, pref, eac, fac, extra = jax.lax.fori_loop(
                     0, n_chunks, chunk_body,
-                    (rr, gg, bb, ww, pref, eac, fac))
-                if cfg.scatter:
+                    (rr, gg, bb, ww, pref, eac, fac, extra))
+                if cfg.scatter and os.environ.get(
+                        "VRT_SCATTER_PROBE") != "normw":
                     _rmw_grad_windows(cfg, s, y0w, x0w, gwin,
-                                      gem_ref, gab_ref, rmw, rsem)
-                return (rr, gg, bb, ww, pref, eac, fac)
+                                      gem_ref, gab_ref, rmw, rsem,
+                                      gre_ref=gre_ref,
+                                      zs0=(zs0 if cfg.lighting else None))
+                return (rr, gg, bb, ww, pref, eac, fac, extra)
             rr, gg, bb, ww = jax.lax.fori_loop(
                 0, n_chunks, chunk_body, (rr, gg, bb, ww))
             return (rr, gg, bb, ww)
 
-        carry = ((rr, gg, bb, ww, pref, eac, fac) if cfg.grad_mode
+        carry = ((rr, gg, bb, ww, pref, eac, fac, extra) if cfg.grad_mode
                  else (rr, gg, bb, ww))
         return jax.lax.cond(any_live, run, lambda c: c, carry)
 
@@ -1099,11 +1490,15 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
         # entry opacity, upstream prefix-dot] (parallel/bricks.py)
         ww0 = gt_ref[0, 2] if cfg.brick else zero
         pref0 = gt_ref[0, 3] if cfg.brick else zero
-        rr, gg, bb, ww, pref, eac, fac = jax.lax.fori_loop(
+        n_extra = (1 + 3 * cfg.n_lights) if cfg.lighting else 0
+        rr, gg, bb, ww, pref, eac, fac, extra = jax.lax.fori_loop(
             0, S, slab_body,
-            (zero, zero, zero, ww0, pref0, zero, zero))
+            (zero, zero, zero, ww0, pref0, zero, zero,
+             (zero,) * n_extra))
         out_ref[0, 4] = eac
         out_ref[0, 5] = fac
+        for ei in range(n_extra):
+            out_ref[0, 6 + ei] = extra[ei]
     else:
         ww0 = gt_ref[0, 0] if cfg.brick else zero  # relay entry opacity
         rr, gg, bb, ww = jax.lax.fori_loop(
@@ -1149,7 +1544,7 @@ def _untile_image(tiles: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
 def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
             axis: str, ascending: bool, wr: int, interpret: bool,
             grad_inputs=None, scatter: bool = False, band=None,
-            brick=None):
+            brick=None, rs: int = 0):
     """Shared setup + kernel launch (forward / grad-replay / full backward).
 
     grad_inputs=None: forward; returns (image, ovf_any, dir_ok).
@@ -1195,6 +1590,8 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     HP, WP = _round_up(H, 8), _round_up(W, 128)
     WC = 256 if WP > 256 else WP
     WR = min(wr, HP)
+    RS = min(rs if rs > 0 else max(WR // 2, 8), WR)
+    KCH = int(os.environ.get("VRT_K_SCATTER", "8")) if scatter else _K
     if em.shape != (D, HP, WP):
         em = jnp.pad(em, ((0, 0), (0, HP - H), (0, WP - W)))
         if ab is not None:
@@ -1327,13 +1724,16 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
 
     n_tiles = rayf.shape[0]
     # per-(tile, slab) window plans, precomputed in XLA (see _window_plans)
-    plans, ovf_any = _window_plans(
-        D - 1, ascending, H, W, HP, WP, WR, WC,
+    plans, ovf_any, scat_ovf_any = _window_plans(
+        D - 1, ascending, H, W, HP, WP, WR, WC, RS, KCH,
         x0v, xsv, y0v, ysv, u0v, av, icap, hit,
         margin_y=(offs[1] if lighting else None),
         margin_x=(offs[2] if lighting else None))
+    if scatter:
+        # the scatter's RS-row A-blocks have a stricter footprint bound
+        ovf_any = ovf_any | scat_ovf_any
     grad_mode = grad_inputs is not None
-    cfg = _KCfg(d=D, h=H, w=W, hp=HP, wp=WP, wr=WR, wc=WC,
+    cfg = _KCfg(d=D, h=H, w=W, hp=HP, wp=WP, wr=WR, wc=WC, rs=RS, k=KCH,
                 ascending=ascending, ab_aliased=scene.absorption_aliased,
                 n_steps=opts.n_steps, grad_mode=grad_mode, scatter=scatter,
                 lighting=lighting, n_lights=n_lights, lut_l=lut_l,
@@ -1357,6 +1757,13 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         if brick is not None:
             gt = jnp.stack([gcol_t, tot_t, pad_tile(brick[4]),
                             pad_tile(brick[5])], axis=1)
+        elif lighting:
+            # lit grads need the raw per-channel cotangents too (the
+            # shading couples channels through the light colors)
+            gt = jnp.stack([gcol_t, tot_t,
+                            pad_tile(g_img[..., 0]),
+                            pad_tile(g_img[..., 1]),
+                            pad_tile(g_img[..., 2])], axis=1)
         else:
             gt = jnp.stack([gcol_t, tot_t], axis=1)  # (n_tiles, 2, 8, 128)
     elif brick is not None and brick[4] is not None:
@@ -1383,9 +1790,12 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
             next(it)  # gem seed (aliased to the gem output; RMW uses out)
             if has_ab:
                 next(it)  # gab seed
+            if scat_re:
+                next(it)  # gre seed
         out_r = next(it)
         gem_o = next(it) if scatter else None
         gab_o = next(it) if (scatter and has_ab) else None
+        gre_o = next(it) if (scatter and scat_re) else None
         wem_s, wab_s, sems_s = next(it), next(it), next(it)
         wre_s = next(it) if lighting else None
         wg_s = [next(it) for _ in range(3)] if lookup else None
@@ -1395,8 +1805,8 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         sarr_s = next(it) if scatter else None
         _march_kernel(cfg, rayf_r, rayi_r, em_r, ab_r, consts_r, gt_r,
                       plan_r, out_r, wem_s, wab_s, sems_s,
-                      gem_ref=gem_o, gab_ref=gab_o, gwin=gwin_s,
-                      rmw=rmw_s, rsem=rsem_s, sarr=sarr_s,
+                      gem_ref=gem_o, gab_ref=gab_o, gre_ref=gre_o,
+                      gwin=gwin_s, rmw=rmw_s, rsem=rsem_s, sarr=sarr_s,
                       lut_ref=lut_r, re_ref=re_r, wre=wre_s,
                       g_refs=g_refs, wg=wg_s)
 
@@ -1405,9 +1815,16 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     nseg = WC // 128
     wab_scratch = (pltpu.VMEM((nseg, 2, WR, 128), jnp.float32) if has_ab
                    else pltpu.VMEM((1, 1, 1, 128), jnp.float32))
-    n_out_ch = 6 if grad_mode else 4
+    n_out_ch = 4
+    if grad_mode:
+        n_out_ch = 6 + ((1 + 3 * n_lights) if lighting else 0)
     n_ray_ch = 12 if lighting else 6
-    n_gt_ch = 4 if (brick is not None and grad_mode) else 2
+    n_gt_ch = 2
+    if brick is not None and grad_mode:
+        n_gt_ch = 4
+    elif lighting and grad_mode:
+        n_gt_ch = 5
+    scat_re = scatter and lighting and has_re
 
     in_specs = [
         pl.BlockSpec((1, n_ray_ch, 8, 128), lambda t: (t, 0, 0, 0),
@@ -1419,7 +1836,7 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, n_gt_ch, 8, 128), lambda t: (t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, D - 1, 8), lambda t: (t, 0, 0),
+        pl.BlockSpec((1, D - 1, 10), lambda t: (t, 0, 0),
                      memory_space=pltpu.SMEM),
     ]
     lit_in = []
@@ -1457,24 +1874,26 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     grad_in = []
     aliases = {}
     if scatter:
-        nblk = 4 if has_ab else 2
+        if lighting:
+            nblk = 4 + (2 if has_ab else 0) + (2 if has_re else 0)
+            n_sarr = 36
+        else:
+            nblk = 4 if has_ab else 2
+            n_sarr = 4 + nblk
         grid_shape = (D, HP, WP)
-        grad_in.append(jnp.zeros(grid_shape, jnp.float32))
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(jax.ShapeDtypeStruct(grid_shape, jnp.float32))
-        aliases[6 + (1 if has_ab else 0)] = 1
-        if has_ab:
+        n_grids = 1 + (1 if has_ab else 0) + (1 if scat_re else 0)
+        seed_base = 6 + (1 if has_ab else 0) + len(lit_in)
+        for gi in range(n_grids):
             grad_in.append(jnp.zeros(grid_shape, jnp.float32))
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             out_shape.append(jax.ShapeDtypeStruct(grid_shape, jnp.float32))
-            aliases[8] = 2
+            aliases[seed_base + gi] = 1 + gi
         scratch_shapes += [
-            pltpu.VMEM((nblk, WR, WC), jnp.float32),
+            pltpu.VMEM((nblk, nseg * WR, 128), jnp.float32),
             pltpu.VMEM((nblk * nseg, WR, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((nblk * nseg,)),
-            pltpu.VMEM((4 + nblk, _K * 8, 128), jnp.float32),
+            pltpu.VMEM((n_sarr, KCH * 8, 128), jnp.float32),
         ]
 
     outs = pl.pallas_call(
@@ -1500,14 +1919,42 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
         d_fab = jnp.sum(f_img)
         d_color = (scene.settings.factor_emission * ts
                    * jnp.sum(g_img * e_img[..., None], axis=(0, 1)))
+        extras = {}
+        if lighting:
+            # lit channels: 6 = rac (d f_re), 7.. = per-(light, channel)
+            # P sums (see the kernel's lit replay block); the color and
+            # light-color pullbacks close in XLA where the raw light
+            # colors are at hand
+            rac_img = _untile_image(out[:, 6], hp_img, wp_img)[
+                :rows_out, :w_img]
+            extras["factor_reflection"] = jnp.sum(rac_img)
+            lc = scene.light_colors  # (n_lights, 3), raw
+            colv3 = scene.settings.color
+            d_lc = []
+            d_col_shade = jnp.zeros(3, jnp.float32)
+            for il in range(n_lights):
+                p_c = [jnp.sum(_untile_image(
+                    out[:, 7 + 3 * il + c], hp_img, wp_img)[
+                        :rows_out, :w_img]) for c in range(3)]
+                p_c = jnp.stack(p_c)
+                d_lc.append(p_c * colv3)
+                d_col_shade = d_col_shade + p_c * lc[il]
+            extras["light_colors"] = jnp.stack(d_lc)
+            d_color = d_color + d_col_shade
         if scatter:
             inv = tuple(int(i) for i in np.argsort(perm))
             d_em_grid = jnp.transpose(outs[1][:, :H, :W], inv)
-            d_ab_grid = (jnp.transpose(outs[2][:, :H, :W], inv)
-                         if has_ab else None)
+            oi = 2
+            d_ab_grid = None
+            if has_ab:
+                d_ab_grid = jnp.transpose(outs[oi][:, :H, :W], inv)
+                oi += 1
+            if scat_re:
+                extras["reflection"] = jnp.transpose(
+                    outs[oi][:, :H, :W], inv)
             return (d_em_grid, d_ab_grid, d_fem, d_fab, d_color,
-                    ovf_any, dir_ok)
-        return d_fem, d_fab, d_color, ovf_any, dir_ok
+                    extras, ovf_any, dir_ok)
+        return d_fem, d_fab, d_color, extras, ovf_any, dir_ok
 
     rows_out = h_img if band is None else hp_img
     img_r = _untile_image(out[:, 0], hp_img, wp_img)[:rows_out, :w_img]
@@ -1543,13 +1990,14 @@ def _replay_grads_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opts", "axis", "ascending", "wr", "interpret"),
+    static_argnames=("opts", "axis", "ascending", "wr", "rs", "interpret"),
 )
 def _voxel_grads_tiled(scene: Scene, opts: RenderOptions, camera_x_offset,
-                       axis: str, ascending: bool, wr: int, interpret: bool,
-                       g_img, out_img):
+                       axis: str, ascending: bool, wr: int, rs: int,
+                       interpret: bool, g_img, out_img):
     return _launch(scene, opts, camera_x_offset, axis, ascending, wr,
-                   interpret, grad_inputs=(g_img, out_img), scatter=True)
+                   interpret, grad_inputs=(g_img, out_img), scatter=True,
+                   rs=rs)
 
 
 def choose_sweep_axis(scene: Scene) -> Tuple[str, bool]:
@@ -1579,9 +2027,9 @@ def unsupported_reason(scene: Scene, opts: RenderOptions,
                        grads: bool = False) -> Optional[str]:
     """None when the kernel can serve the scene, else a short reason."""
     if scene.has_lighting:
-        if grads:
-            return ("lighting backward (gradients through HG-LUT shading "
-                    "ride the replay path)")
+        if grads and scene.has_gradient_volumes:
+            return ("lookup-gradient lighting backward (rides the replay "
+                    "path)")
         if scene.illumination is None:
             return "lighting without an illumination LUT"
         ls = scene.illumination.shape
@@ -1725,11 +2173,15 @@ def transfer_grads_fast(
 
         image, vjp_fn = _jax.vjp(forward, diff)
         d = vjp_fn(jnp.asarray(g, jnp.float32))[0]
-        return image, {
+        out = {
             "factor_emission": d["factor_emission"],
             "factor_absorption": d["factor_absorption"],
+            "factor_reflection": d["factor_reflection"],
             "color": d["color"],
         }
+        if scene.has_lighting:
+            out["light_colors"] = d["light_colors"]
+        return image, out
 
     reason = unsupported_reason(scene, opts, grads=True)
     if reason is not None:
@@ -1749,7 +2201,7 @@ def transfer_grads_fast(
                 continue
         else:
             img_f = image
-        d_fem, d_fab, d_color, ovf2, dir_ok2 = _replay_grads_tiled(
+        d_fem, d_fab, d_color, extras, ovf2, dir_ok2 = _replay_grads_tiled(
             scene, opts, jnp.float32(camera_x_offset), axis, ascending,
             wr, bool(interpret), jnp.asarray(g, jnp.float32), img_f)
         if not bool(dir_ok2):
@@ -1758,11 +2210,16 @@ def transfer_grads_fast(
         if bool(ovf2):
             continue
         _note_fallback(None)
-        return img_f, {
+        out = {
             "factor_emission": d_fem,
             "factor_absorption": d_fab,
+            "factor_reflection": extras.get(
+                "factor_reflection", jnp.float32(0.0)),
             "color": d_color,
         }
+        if scene.has_lighting:
+            out["light_colors"] = extras["light_colors"]
+        return img_f, out
     _note_fallback("tile sample footprint overflowed the 128-row window")
     return fallback()
 
@@ -1819,21 +2276,26 @@ def voxel_grads_fast(
         return fallback()
 
     axis, ascending = choose_sweep_axis(scene)
-    for wr in (64, 128):
-        if image is None or wr != 64:
+    # (wr, rs) ladder: full-window wr for the forward windows, RS-row
+    # scatter A-blocks widening on footprint overflow (plan scat_ovf)
+    img = image
+    last_wr = 64 if image is not None else None
+    for wr, rs in ((64, 32), (128, 64), (128, 128)):
+        if last_wr != wr:
             img, ovf, dir_ok = _render_tiled(
                 scene, opts, jnp.float32(camera_x_offset), axis, ascending,
                 wr, bool(interpret))
+            last_wr = wr
             if not bool(dir_ok):
                 _note_fallback("degenerate sweep direction")
                 return fallback()
             if bool(ovf):
+                last_wr = None  # img invalid: a later rung re-renders
                 continue
-        else:
-            img = image
-        d_em, d_ab, d_fem, d_fab, d_color, ovf2, dir_ok2 = _voxel_grads_tiled(
+        (d_em, d_ab, d_fem, d_fab, d_color, extras, ovf2,
+         dir_ok2) = _voxel_grads_tiled(
             scene, opts, jnp.float32(camera_x_offset), axis, ascending,
-            wr, bool(interpret), jnp.asarray(g, jnp.float32), img)
+            wr, rs, bool(interpret), jnp.asarray(g, jnp.float32), img)
         if not bool(dir_ok2):
             _note_fallback("degenerate sweep direction")
             return fallback()
@@ -1843,14 +2305,18 @@ def voxel_grads_fast(
             "emission": d_em,
             "factor_emission": d_fem,
             "factor_absorption": d_fab,
-            "factor_reflection": jnp.float32(0.0),
+            "factor_reflection": extras.get(
+                "factor_reflection", jnp.float32(0.0)),
             "color": d_color,
         }
         if not scene.absorption_aliased:
             grads["absorption"] = d_ab
         if not scene.reflection_aliased:
-            grads["reflection"] = jnp.zeros(
-                scene.reflection.data.shape, jnp.float32)
+            grads["reflection"] = extras.get(
+                "reflection",
+                jnp.zeros(scene.reflection.data.shape, jnp.float32))
+        if scene.has_lighting:
+            grads["light_colors"] = extras["light_colors"]
         _note_fallback(None)
         return img, grads
     _note_fallback("tile sample footprint overflowed the 128-row window")

@@ -586,7 +586,8 @@ def _bricked_grads_fast(scene: Scene, opts: RenderOptions, cam_off,
             up_dot = jnp.where(b < n - 1, jnp.cumsum(dots[::-1], axis=0)[
                 ::-1][jnp.minimum(b + 1, n - 1)], 0.0)
 
-        (d_em_p, d_ab_p, d_fem, d_fab, d_col, ovf3, ok3) = _launch(
+        (d_em_p, d_ab_p, d_fem, d_fab, d_col, _extras, ovf3,
+         ok3) = _launch(
             scene_pad, opts, cam, "z", ascending, wr, interpret,
             grad_inputs=(g_l, out_global), scatter=True,
             brick=geo + (w_in, up_dot))

@@ -90,7 +90,7 @@ def _voxel_grads_sharded(scene: Scene, opts: RenderOptions, cam_off,
 
     def shard_fn(scene_l, cam, g_band, out_band):
         i = jax.lax.axis_index(axis_name)
-        d_em, d_ab, d_fem, d_fab, d_col, ovf, dir_ok = _launch(
+        d_em, d_ab, d_fem, d_fab, d_col, extras, ovf, dir_ok = _launch(
             scene_l, opts, cam, axis, ascending, wr, interpret,
             grad_inputs=(g_band, out_band), scatter=True,
             band=(i * rows, rows))
@@ -99,6 +99,8 @@ def _voxel_grads_sharded(scene: Scene, opts: RenderOptions, cam_off,
         d_fem = jax.lax.psum(d_fem, axis_name)
         d_fab = jax.lax.psum(d_fab, axis_name)
         d_col = jax.lax.psum(d_col, axis_name)
+        del extras  # rays-DP serves lighting-off scenes (lit scenes fall
+        # back before reaching here); no lit extras to reduce
         return (d_em, d_ab, d_fem, d_fab, d_col, ovf.reshape(1),
                 dir_ok.reshape(1))
 
