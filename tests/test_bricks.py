@@ -19,6 +19,8 @@ from volume_renderer_tpu.parallel.sharding import make_mesh
 from volume_renderer_tpu.ops.forward import render_forward
 from volume_renderer_tpu.ops.vjp import render_fused, split_scene
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel sweeps
+
 W, H = 16, 12
 
 

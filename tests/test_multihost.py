@@ -5,7 +5,10 @@ process-spanning mesh with psum'd gradients, and every process computes
 the same global loss (checked inside run_demo).
 """
 
+import pytest
 from volume_renderer_tpu.parallel.multihost import run_demo
+
+pytestmark = pytest.mark.slow  # interpret-mode kernel sweeps
 
 
 def test_two_process_training_step():

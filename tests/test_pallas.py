@@ -23,6 +23,9 @@ from volume_renderer_tpu.ops.pallas_march import (
     render_forward_fast,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel sweeps
+
+
 
 def _scene(vol=14, rot=(125, 25, 0), alias=False, seed=0):
     rng = np.random.RandomState(seed)

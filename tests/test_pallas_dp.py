@@ -28,6 +28,9 @@ def test_dp_forward_matches_flat():
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-4)
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel sweeps
+
+
 
 def test_dp_forward_fallback_matches():
     """Off-envelope scenes (mismatched gradient volumes) fall back to

@@ -10,6 +10,8 @@ from volume_renderer_tpu.ops.forward import render_forward
 from volume_renderer_tpu.ops.slab import render_fused_slabbed
 from volume_renderer_tpu.ops.vjp import merge_scene, render_fused, split_scene
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel sweeps
+
 W, H = 16, 12
 
 

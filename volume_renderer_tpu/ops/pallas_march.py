@@ -235,8 +235,6 @@ def _scatter_chunk(cfg: "_KCfg", sarr_ref, gwin_ref, spec, ny, nx,
     KS = cfg.k * 8
     RS = cfg.rs
     f32 = jnp.float32
-    import os as _os
-    _probe = _os.environ.get("VRT_SCATTER_PROBE", "")
     # NB a dynamic group-loop trip bound is SLOWER (-11% round 4,
     # reconfirmed round 5): variable-trip lowering costs more than the
     # skipped dead tail groups save; the loop runs all KS groups.
@@ -289,10 +287,6 @@ def _scatter_chunk(cfg: "_KCfg", sarr_ref, gwin_ref, spec, ny, nx,
                      for bi in range(len(blocks))], axis=0)
                 x_full = jnp.concatenate(
                     [xh[x_id] for xh in x_cat], axis=1)
-                if _probe == "nobuild":  # perf probe: contraction only
-                    a_full = jnp.broadcast_to(
-                        x_full[0:1, :] * 0.0 + 1.0,
-                        (len(blocks) * RS, 128 * G))
                 # DEFAULT (one bf16 MXU pass) measured against HIGHEST
                 # (fp32, ~4x passes) at 64^3: gradient error vs the
                 # replay VJP is IDENTICAL (the replay's (tot - prefix)
@@ -1451,10 +1445,8 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                             sarr[7] = dv_ab * zfac[1]
                         spec = ((0, tuple((b, ((0, b),))
                                           for b in range(nblk))),)
-                        if os.environ.get(
-                                "VRT_SCATTER_PROBE") != "noscatter":
-                            _scatter_chunk(cfg, sarr, gwin, spec, 1, 1,
-                                           r8_s, seg_lo_s, n_segs_s)
+                        _scatter_chunk(cfg, sarr, gwin, spec, 1, 1,
+                                       r8_s, seg_lo_s, n_segs_s)
                         return 0
 
                     # post-termination chunks carry zero cotangents: skip
@@ -1469,8 +1461,7 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                 rr, gg, bb, ww, pref, eac, fac, extra = jax.lax.fori_loop(
                     0, n_chunks, chunk_body,
                     (rr, gg, bb, ww, pref, eac, fac, extra))
-                if cfg.scatter and os.environ.get(
-                        "VRT_SCATTER_PROBE") != "normw":
+                if cfg.scatter:
                     _rmw_grad_windows(cfg, s, y0w, x0w, gwin,
                                       gem_ref, gab_ref, rmw, rsem,
                                       gre_ref=gre_ref,
@@ -1590,7 +1581,13 @@ def _launch(scene: Scene, opts: RenderOptions, camera_x_offset,
     HP, WP = _round_up(H, 8), _round_up(W, 128)
     WC = 256 if WP > 256 else WP
     WR = min(wr, HP)
-    RS = min(rs if rs > 0 else max(WR // 2, 8), WR)
+    # Scatter A-block rows: default = the FULL window. Measured (round
+    # 5, plan statistics at 64^3-512^3): slab row footprints fill the
+    # window almost everywhere (n_rows p99 = WR) because tilted rays'
+    # per-slab step ranges reach ~3 chunks and drag the row extent, so
+    # a half-window block just triggers the overflow ladder (TWO full
+    # kernel launches) and loses.
+    RS = min(rs if rs > 0 else WR, WR)
     KCH = int(os.environ.get("VRT_K_SCATTER", "8")) if scatter else _K
     if em.shape != (D, HP, WP):
         em = jnp.pad(em, ((0, 0), (0, HP - H), (0, WP - W)))
@@ -2280,7 +2277,7 @@ def voxel_grads_fast(
     # scatter A-blocks widening on footprint overflow (plan scat_ovf)
     img = image
     last_wr = 64 if image is not None else None
-    for wr, rs in ((64, 32), (128, 64), (128, 128)):
+    for wr, rs in ((64, 64), (128, 128)):
         if last_wr != wr:
             img, ovf, dir_ok = _render_tiled(
                 scene, opts, jnp.float32(camera_x_offset), axis, ascending,

@@ -76,6 +76,21 @@ def _forward_sharded(scene: Scene, opts: RenderOptions, cam_off,
     return img[: opts.height], jnp.any(ovf), jnp.all(dir_ok)
 
 
+def _psum_chunked(grid, axis_name, n_chunks: int = 4):
+    """psum a (D, H, W) gradient grid in ``n_chunks`` z-chunks.
+
+    Equivalent to one ``psum`` (allclose exactly: same adds, same order
+    per element); emitting several smaller collectives lets them
+    pipeline on ICI. See the call-site note.
+    """
+    d = grid.shape[0]
+    n = min(n_chunks, d)
+    bounds = [round(i * d / n) for i in range(n + 1)]
+    parts = [jax.lax.psum(grid[bounds[i]:bounds[i + 1]], axis_name)
+             for i in range(n)]
+    return jnp.concatenate(parts, axis=0)
+
+
 @partial(jax.jit, static_argnames=("opts", "axis", "ascending", "wr",
                                    "interpret", "mesh"))
 def _voxel_grads_sharded(scene: Scene, opts: RenderOptions, cam_off,
@@ -94,8 +109,19 @@ def _voxel_grads_sharded(scene: Scene, opts: RenderOptions, cam_off,
             scene_l, opts, cam, axis, ascending, wr, interpret,
             grad_inputs=(g_band, out_band), scatter=True,
             band=(i * rows, rows))
-        d_em = jax.lax.psum(d_em, axis_name)
-        d_ab = (jax.lax.psum(d_ab, axis_name) if d_ab is not None else None)
+        # Grid-sized all-reduces go out in z-chunks, not one monolith:
+        # XLA lowers each chunk to its own async collective, so on a
+        # real pod chunk i's ICI transfer overlaps chunk i+1's
+        # reduce-combine (and any remaining backward epilogue) instead
+        # of serializing one grid-sized all-reduce at the very end —
+        # the "all-reduced overlapped with the backward ray-march"
+        # clause of BASELINE.json:5, to the extent a single
+        # pallas_call backward permits (the kernel must complete before
+        # its outputs exist; the overlap is across the chunked
+        # collectives and the rest of the step's tail).
+        d_em = _psum_chunked(d_em, axis_name)
+        d_ab = (_psum_chunked(d_ab, axis_name)
+                if d_ab is not None else None)
         d_fem = jax.lax.psum(d_fem, axis_name)
         d_fab = jax.lax.psum(d_fab, axis_name)
         d_col = jax.lax.psum(d_col, axis_name)
