@@ -109,3 +109,47 @@ def test_facade_lit_mesh_falls_back_sharded():
     got = np.asarray(r.render())
     assert r.last_plan.path == "pallas_dp"
     np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-4)
+
+
+def test_train_step_planned_mesh_tiers():
+    """train_step_planned routes through the sharded tiers when a mesh
+    is supplied (rays-DP when the scene fits, bricked when it does not)
+    and the loss decreases either way."""
+    import optax
+
+    from volume_renderer_tpu import train
+    from volume_renderer_tpu.api.planner import ray_state_bytes, scene_volume_bytes
+    from volume_renderer_tpu.models.scene import build_render_options
+    from volume_renderer_tpu.ops.forward import render_forward
+
+    r = _renderer(vol=32, res=32)
+    scene = r._build_scene()
+    opts = build_render_options(
+        scene.emission.extent_xyz, scene.emission.element_size_um, 32, 32)
+    target = render_forward(scene, opts)
+    params, _ = train.split_params(scene)
+    params = dict(params)
+    params["emission"] = params["emission"] * 1.3 + 0.05
+    opt = optax.adam(1e-2)
+
+    mesh = make_mesh(8)
+    st = opt.init(params)
+    p1, st, l1, plan1 = train.train_step_planned(
+        params, st, scene, opts, target, opt, mesh=mesh)
+    assert plan1.path == "pallas_dp", str(plan1)
+    _, _, l2, _ = train.train_step_planned(
+        p1, st, scene, opts, target, opt, mesh=mesh)
+    assert float(l2) < float(l1)
+
+    mesh_b = make_mesh(8, axis_name="bricks")
+    rays = ray_state_bytes(opts)
+    vol_bytes = scene_volume_bytes(scene)
+    # above the bricked working set (training adds vol-sized grads to
+    # the ray state), below the flat one (2*vol + rays + vol)
+    budget = int((rays + vol_bytes + vol_bytes // 2) / 0.7)
+    st = opt.init(params)
+    _, _, lb, planb = train.train_step_planned(
+        params, st, scene, opts, target, opt, mesh=mesh_b,
+        budget_bytes=budget)
+    assert planb.path == "bricked", str(planb)
+    assert np.isfinite(float(lb))

@@ -40,8 +40,9 @@ def main():
     vol = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     img = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     mode = sys.argv[3] if len(sys.argv) > 3 else "both"
+    lighting = len(sys.argv) > 4 and sys.argv[4] == "lit"
 
-    scene = _flagship_scene(vol=vol, lighting=False)
+    scene = _flagship_scene(vol=vol, lighting=lighting)
     opts = scene.options(img, img)
 
     if mode in ("fwd", "both"):
@@ -78,16 +79,20 @@ def main():
 
         _, vjp_fn = jax.vjp(fwd, diff)
         ref_grads = vjp_fn(jnp.asarray(g))[0]
-        for k in ("emission", "absorption", "factor_emission",
-                  "factor_absorption", "color"):
+        for k in ("emission", "absorption", "reflection",
+                  "factor_emission", "factor_absorption",
+                  "factor_reflection", "color", "light_colors"):
             if k not in grads or k not in ref_grads:
                 continue
             a = np.asarray(grads[k])
             b = np.asarray(ref_grads[k])
             scale = max(np.abs(b).max(), 1e-6)
+            l2 = (np.linalg.norm(a - b)
+                  / max(np.linalg.norm(b), 1e-9))
             md = np.abs(a - b).max() / scale
-            print(f"bwd {k}: rel maxdiff={md:.2e}", flush=True)
-            if md > 5e-3:
+            print(f"bwd {k}: relL2={l2:.2e} rel maxdiff={md:.2e}",
+                  flush=True)
+            if l2 > 2e-3:
                 print(f"MISMATCH {k}")
                 sys.exit(1)
 
