@@ -43,6 +43,22 @@ def main():
     lighting = len(sys.argv) > 4 and sys.argv[4] == "lit"
 
     scene = _flagship_scene(vol=vol, lighting=lighting)
+    if lighting:
+        # break the smooth shell's normal==view alignment: the shading
+        # chain's angle derivatives are rounding-dominated there (both
+        # the kernel and the replay explode differently; see
+        # _vangle_bwd), so the comparison is only meaningful on a
+        # generic volume
+        import jax.numpy as _jnp
+
+        em = np.asarray(scene.emission.data)
+        em = em + 0.05 * np.random.default_rng(1).random(
+            em.shape).astype(np.float32)
+        emj = _jnp.asarray(em)
+        scene = scene.replace(
+            emission=scene.emission.replace(data=emj),
+            absorption=scene.absorption.replace(data=emj),
+            reflection=scene.reflection.replace(data=emj))
     opts = scene.options(img, img)
 
     if mode in ("fwd", "both"):

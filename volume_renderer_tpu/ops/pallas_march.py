@@ -287,26 +287,43 @@ def _scatter_chunk(cfg: "_KCfg", sarr_ref, gwin_ref, spec, ny, nx,
                      for bi in range(len(blocks))], axis=0)
                 x_full = jnp.concatenate(
                     [xh[x_id] for xh in x_cat], axis=1)
-                # DEFAULT (one bf16 MXU pass) measured against HIGHEST
-                # (fp32, ~4x passes) at 64^3: gradient error vs the
-                # replay VJP is IDENTICAL (the replay's (tot - prefix)
-                # cancellation dominates, not matmul rounding) while
-                # HIGHEST cost +29% scatter time.
+                # Lighting OFF: DEFAULT (one bf16 MXU pass) measured
+                # against HIGHEST (fp32, ~4x passes) at 64^3 — gradient
+                # error vs the replay VJP is IDENTICAL (the replay's
+                # (tot - prefix) cancellation dominates, not matmul
+                # rounding) while HIGHEST cost +29% scatter time.
+                # Lighting ON: fp32 is REQUIRED — the OTF tap adjoint is
+                # a +-difference stencil (adjacent voxels accumulate
+                # large cancelling tap contributions), so bf16 rounding
+                # of the big terms destroys the small difference
+                # (measured: chip relL2 1.5e-2 vs the f32 interpret's
+                # 7e-4 on the same scene).
+                prec = (jax.lax.Precision.HIGHEST if cfg.lighting
+                        else jax.lax.Precision.DEFAULT)
                 outs.append(acc + jax.lax.dot_general(
                     a_full, x_full, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32))
+                    preferred_element_type=f32, precision=prec))
             return tuple(outs)
 
         accs0 = tuple(jnp.zeros((len(blocks) * RS, 128), f32)
                       for _, blocks in spec)
         accs = jax.lax.fori_loop(0, KS // G, body, accs0)
         # gwin rows are (seg, window-row) flattened: seg*WR + r8 is
-        # 8-aligned (WR mult of 8, r8 aligned), one traced sublane slice
+        # 8-aligned (WR mult of 8, r8 aligned), one traced sublane slice.
+        # Blocks targeted by SEVERAL matmul groups (the lit emission
+        # blocks receive the main AND both x-tap groups) combine in
+        # registers first — one RMW statement per gwin block; repeated
+        # dynamic-base `+=` on the same rows from separate statements is
+        # an aliasing pattern best not left to the compiler.
         base = pl.multiple_of(seg * cfg.wr + r8, 8)
+        per_blk = {}
         for (_, blocks), acc in zip(spec, accs):
             for bi, (blk, _) in enumerate(blocks):
-                gwin_ref[blk, pl.ds(base, RS), :] += (
-                    acc[bi * RS:(bi + 1) * RS])
+                part = acc[bi * RS:(bi + 1) * RS]
+                per_blk[blk] = (part if blk not in per_blk
+                                else per_blk[blk] + part)
+        for blk in sorted(per_blk):
+            gwin_ref[blk, pl.ds(base, RS), :] += per_blk[blk]
 
     if cfg.wc == 128:
         # one window segment exists; seg_lo is always 0 — specialize
@@ -417,10 +434,17 @@ def _vangle_bwd(ax, ay, az, bx, by, bz, d_ang):
     angle = acos(clip(r)) with r = (a.b) * rsqrt(|a|^2 |b|^2); the
     gradient d r/d a_i = b_i/(|a||b|) - r a_i/|a|^2 (and symmetrically
     for b) times d acos = -1/sqrt(1 - r^2), zeroed where the forward's
-    degenerate-length guard clamps (d2 <= eps2) and where |r| -> 1 makes
-    acos' singular (the XLA replay produces inf there; the kernel's
-    backward returns 0 — parallel vectors are a measure-zero event for
-    real volume normals and a zero subgradient is the stable choice).
+    degenerate-length guard clamps (d2 <= eps2).
+
+    Near-parallel vectors make acos' arbitrarily ill-conditioned —
+    measured on the smooth flagship shell, whose camera-facing cap has
+    normal == view over a large region, the replay's autodiff and any
+    reimplementation disagree at relL2 ~1e-2 purely from rounding
+    amplified by 1/sqrt(1-r^2) (adding 5% volume noise collapses the
+    disagreement to 7e-4). The kernel therefore floors 1 - r^2 at 1e-6,
+    bounding the amplification at 1e3: a deliberate deviation from raw
+    autodiff, active only where the exact derivative is
+    rounding-dominated, and the stable choice for inverse rendering.
     Returns (dax, day, daz, dbx, dby, dbz).
     """
     a2 = ax * ax + ay * ay + az * az
@@ -430,10 +454,9 @@ def _vangle_bwd(ax, ay, az, bx, by, bz, d_ang):
     il = jnp.where(safe, jax.lax.rsqrt(jnp.where(safe, d2, 1.0)), 0.0)
     dotp = ax * bx + ay * by + az * bz
     r = jnp.clip(jnp.where(safe, dotp * il, 0.0), -1.0, 1.0)
-    s2 = 1.0 - r * r
-    ok = safe & (s2 > 1e-12)
+    s2 = jnp.maximum(1.0 - r * r, 1e-6)
     dacos = jnp.where(
-        ok, -jax.lax.rsqrt(jnp.where(ok, s2, 1.0)), 0.0) * d_ang
+        safe, -jax.lax.rsqrt(s2), 0.0) * d_ang
     inv_a2 = jnp.where(safe, 1.0 / jnp.where(safe, a2, 1.0), 0.0)
     inv_b2 = jnp.where(safe, 1.0 / jnp.where(safe, b2, 1.0), 0.0)
     ra = r * inv_a2
@@ -1262,6 +1285,14 @@ def _march_kernel(cfg: _KCfg, rayf_ref, rayi_ref, em_ref, ab_ref, consts_ref,
                                              - (totb - pref_incl)),
                             0.0)
                         dv_re = jnp.where(act, ta * f_re * lsum, 0.0)
+                        if os.environ.get("VRT_LIT_DBG") == "dsw":
+                            # debug: carry the sweep-tap cotangent on the
+                            # (verified-correct) reflection-grid path
+                            dv_re = dsw
+                        elif os.environ.get("VRT_LIT_DBG") == "dlw":
+                            dv_re = dlw
+                        elif os.environ.get("VRT_LIT_DBG") == "drw":
+                            dv_re = drw
                         dv_all = dv_em
                         if cfg.ab_aliased:
                             dv_all = dv_all + dv_ab
