@@ -419,3 +419,32 @@ def test_lit_transfer_grads_fast_matches_replay():
         scale = max(np.abs(b).max(), 1e-8)
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=5e-3,
                                    err_msg=key)
+
+
+def test_voxel_grads_wide_volume_two_segments():
+    """WC=256 scatter (two 128-lane window segments): gradients match
+    the replay on a volume wider than 128 voxels."""
+    from volume_renderer_tpu.ops.pallas_march import voxel_grads_fast
+    from volume_renderer_tpu.ops.vjp import merge_scene, render_fused, split_scene
+
+    rng = np.random.RandomState(5)
+    em = rng.rand(10, 10, 140).astype(np.float32) * 0.2
+    scene = Scene(
+        emission=Volume.create(em),
+        absorption=Volume.create(em * 0.7),
+        camera=Camera.create(focal_length=3.0,
+                             distance_to_object=6.0).rotate(10, 5, 0),
+        settings=RenderSettings.create(),
+    )
+    opts = scene.options(40, 40)
+    g = np.asarray(rng.randn(40, 40, 3), np.float32) * 1e-3
+    img, grads = voxel_grads_fast(scene, opts, g, interpret=True)
+
+    diff, template = split_scene(scene)
+    _, vjp_fn = jax.vjp(
+        lambda d: render_fused(merge_scene(template, d), opts), diff)
+    ref = vjp_fn(jnp.asarray(g))[0]
+    for key in ("emission", "absorption"):
+        np.testing.assert_allclose(
+            np.asarray(grads[key]), np.asarray(ref[key]),
+            rtol=5e-3, atol=1e-7, err_msg=key)

@@ -330,12 +330,13 @@ def _scatter_chunk(cfg: "_KCfg", sarr_ref, gwin_ref, spec, ny, nx,
         # away the segment loop entirely
         one_seg(jnp.int32(0), jnp.float32(0.0))
     else:
-        def seg_body(si, _):
-            seg = seg_lo + si
-            one_seg(seg, (seg * 128).astype(f32))
-            return 0
-
-        jax.lax.fori_loop(0, n_segs, seg_body, 0)
+        # WC=256: both segments statically — static store bases and no
+        # variable-trip loop beat skipping the (often untouched) second
+        # segment via a dynamic [seg_lo, seg_lo+n_segs) loop by 33%
+        # (A/B at 512^3: 36.6 s vs 54.4 s scatter pass)
+        del seg_lo, n_segs
+        one_seg(jnp.int32(0), jnp.float32(0.0))
+        one_seg(jnp.int32(1), jnp.float32(128.0))
 
 
 def _rmw_grad_windows(cfg: "_KCfg", s, y0w, x0w, gwin_ref, gem_ref, gab_ref,
