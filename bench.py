@@ -46,9 +46,17 @@ Env knobs:
 Pre-warming: tools/warm_cache.py compiles every default bench shape
 into the committed .jax_cache so driver runs load kernels in seconds.
 
-NB: timings fetch results to the host (np.asarray). On this platform
-jax.block_until_ready can return before execution finishes, which makes
-non-fetching timings meaningless (and silently hides device faults).
+NB on timing barriers: jax.block_until_ready can return before
+execution finishes on this platform, so every timing forces completion
+by FETCHING a value that depends on the full result. Round 5 found the
+development tunnel's host link moves ~25 MB/s — fetching a gradient
+grid (64 MB at 256^3, 512 MB at 512^3) or a 1024^2 image as the
+barrier was adding 0.5-19 s of pure tunnel time to every recorded
+number (a real deployment fetches over PCIe at GB/s, and a training
+step never fetches gradients at all — they feed the on-device
+optimizer). All rows therefore barrier on an ON-DEVICE reduction of
+the result (jnp.sum -> scalar fetch), which still forces the full
+computation and still surfaces device faults.
 """
 
 import json
@@ -76,8 +84,16 @@ def _log(msg):
           flush=True)
 
 
+def _sum_barrier(x):
+    """Force completion via an on-device reduction + scalar fetch (see
+    the module docstring: full-array fetches measure the dev tunnel)."""
+    import jax.numpy as jnp
+
+    return np.asarray(jnp.sum(x))
+
+
 def _timed(render, reps):
-    """Mean seconds per call, forcing a host fetch each repetition."""
+    """Mean seconds per call, forcing completion each repetition."""
     out = np.asarray(render())  # warmup/compile
     if not np.isfinite(out).all():
         raise RuntimeError("render produced non-finite values")
@@ -126,7 +142,8 @@ def main():
     _log(f"primary: {vol}^3/{img}^2 forward (pallas)")
     scene = _flagship_scene(vol=vol, lighting=False)
     opts = scene.options(img, img)
-    dt = _timed(lambda: render_forward_fast(scene, opts), reps)
+    dt = _timed(lambda: _sum_barrier(render_forward_fast(scene, opts)),
+                reps)
     rays_per_s = img * img / dt
     # r02 equivalent per-ray rate at this volume: steps/ray scale with the
     # march step count (tstep ~ 1/vol), so the honest same-work baseline
@@ -170,13 +187,13 @@ def main():
 
         scene_fb = _flagship_scene(vol=fb_vol, lighting=lighting)
         opts_fb = scene_fb.options(fb_img, fb_img)
-        target = np.asarray(render_forward_fast(scene_fb, opts_fb)) * 1.1
+        target = render_forward_fast(scene_fb, opts_fb) * 1.1
 
         def step():
             im = render_forward_fast(scene_fb, opts_fb)
-            gcot = 2.0 * (im - jnp.asarray(target))
+            gcot = 2.0 * (im - target)
             _, grads = voxel_grads_fast(scene_fb, opts_fb, gcot, image=im)
-            return np.asarray(grads["emission"])
+            return _sum_barrier(grads["emission"])
 
         dt_fb = _timed(step, reps_)
         return round(fb_img * fb_img / dt_fb, 1)
@@ -210,7 +227,9 @@ def main():
     def run_big():
         scene_big = _flagship_scene(vol=512, lighting=False)
         opts_big = scene_big.options(1024, 1024)
-        dt_big = _timed(lambda: render_forward_fast(scene_big, opts_big), 1)
+        dt_big = _timed(
+            lambda: _sum_barrier(render_forward_fast(scene_big, opts_big)),
+            2)
         extra["big_forward_rays_s"] = round(1024 * 1024 / dt_big, 1)
         extra["vs_ref_gpu"] = round(
             1024 * 1024 / dt_big / REF_GPU_FWD_RAYS_S, 3)
@@ -221,8 +240,9 @@ def main():
     def run_lighting():
         scene_l = _flagship_scene(vol=vol, lighting=True)
         opts_l = scene_l.options(img, img)
-        dt_l = _timed(lambda: render_forward_fast(scene_l, opts_l),
-                      max(1, reps - 1))
+        dt_l = _timed(
+            lambda: _sum_barrier(render_forward_fast(scene_l, opts_l)),
+            max(1, reps - 1))
         from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
 
         extra["lighting_rays_s"] = round(img * img / dt_l, 1)
@@ -236,7 +256,8 @@ def main():
     def run_lighting_big():
         scene_lb = _flagship_scene(vol=512, lighting=True)
         opts_lb = scene_lb.options(1024, 1024)
-        dt_lb = _timed(lambda: render_forward_fast(scene_lb, opts_lb), 1)
+        dt_lb = _timed(
+            lambda: _sum_barrier(render_forward_fast(scene_lb, opts_lb)), 1)
         from volume_renderer_tpu.ops.pallas_march import last_fallback_reason
 
         extra["big_lit_forward_rays_s"] = round(1024 * 1024 / dt_lb, 1)
@@ -249,7 +270,8 @@ def main():
         scene_r02 = _flagship_scene(vol=128, lighting=False)
         opts_r02 = scene_r02.options(256, 256)
         dt_r02 = _timed(
-            lambda: render_forward_fast(scene_r02, opts_r02), reps)
+            lambda: _sum_barrier(render_forward_fast(scene_r02, opts_r02)),
+            reps)
         extra["r02_config_rays_s"] = round(256 * 256 / dt_r02, 1)
         extra["r02_config_speedup"] = round(
             256 * 256 / dt_r02 / R02_RAYS_S, 2)
@@ -258,9 +280,12 @@ def main():
     def run_transfer():
         from volume_renderer_tpu.ops.pallas_march import transfer_grads_fast
 
+        import jax.numpy as jnp
+
         target = np.asarray(render_forward_fast(scene, opts))
-        gcot = (2.0 * (target * 1.1 - target) / target.size).astype(
-            np.float32)
+        gcot = jnp.asarray(
+            (2.0 * (target * 1.1 - target) / target.size).astype(
+                np.float32))
 
         def run_tg():
             _, grads = transfer_grads_fast(scene, opts, gcot)
