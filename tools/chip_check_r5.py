@@ -74,7 +74,9 @@ def main():
             sys.exit(1)
         t0 = time.monotonic()
         for _ in range(3):
-            got = np.asarray(render_forward_fast(scene, opts))
+            # on-device-reduction barrier: a full image fetch would
+            # measure the ~25 MB/s dev tunnel, not the render
+            np.asarray(jnp.sum(render_forward_fast(scene, opts)))
         dt = (time.monotonic() - t0) / 3
         print(f"fwd {vol}^3/{img}^2: {dt:.3f}s = {img*img/dt:,.0f} rays/s",
               flush=True)
@@ -119,10 +121,12 @@ def main():
                 print(f"MISMATCH {k}")
                 sys.exit(1)
 
+        gdev = jnp.asarray(g)
+
         def step():
             im = render_forward_fast(scene, opts)
-            _, gr = voxel_grads_fast(scene, opts, jnp.asarray(g), image=im)
-            return np.asarray(gr["emission"])
+            _, gr = voxel_grads_fast(scene, opts, gdev, image=im)
+            return np.asarray(jnp.sum(gr["emission"]))
 
         step()
         t0 = time.monotonic()
